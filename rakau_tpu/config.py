@@ -1,0 +1,108 @@
+"""Static configuration for the TPU Barnes-Hut engine.
+
+Mirrors the reference's two-tier config scheme (rakau `tree.hpp`: compile-time
+template params NDim/F/UInt/MAC + per-call igor kwargs, SURVEY.md C12): here the
+"compile-time" tier is a frozen dataclass that participates in jit static
+arguments, while theta/eps/G stay per-call traced scalars.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+# Multipole acceptance criteria (reference: `enum class mac { bh, bh_geom }`,
+# SURVEY.md C6).
+MAC_BH = "bh"
+MAC_BH_GEOM = "bh_geom"
+_VALID_MACS = (MAC_BH, MAC_BH_GEOM)
+
+
+def default_max_depth(ndim: int) -> int:
+    # Reference uses 21 bits/dim for 3D, 31 for 2D (libmorton 63/62-bit codes,
+    # SURVEY.md C1). Dual-uint32 keys hold up to 63 bits.
+    return {1: 62, 2: 31, 3: 21}[ndim]
+
+
+@dataclasses.dataclass(frozen=True)
+class TreeConfig:
+    """Hashable static config (jit static argument).
+
+    Attributes
+    ----------
+    ndim: spatial dimension (2 or 3; the reference's NDim template param).
+    dtype: coordinate/force dtype (fp32 on TPU; fp64 available on CPU backend).
+    max_depth: maximum tree depth == bits per dimension of the Morton key.
+    max_leaf_n: split a node only if it holds more particles than this
+        (reference kwarg `max_leaf_n`).
+    ncrit: target-tile size — consecutive Morton-ordered particles grouped as
+        one traversal work unit (the reference's critical-node `ncrit` knob,
+        re-tuned for TPU tile economics; SURVEY.md §8 "hard parts").
+    mac: "bh" or "bh_geom".
+    node_cap: capacity of the flat node array (static shape). None = auto.
+    frontier_cap: per-tile traversal frontier capacity.
+    m2p_cap: per-tile cap on accepted multipole (node) interactions.
+    p2p_leaf_cap: per-tile cap on leaf nodes needing direct P2P.
+    p2p_src_cap: per-tile cap on gathered P2P source particles.
+    tile_chunk: number of target tiles traversed/evaluated per sequential
+        chunk (bounds peak memory of the padded interaction lists).
+    multipole_order: 0 = monopole (reference parity), 2 adds quadrupole
+        (accuracy extension beyond the reference).
+    """
+
+    ndim: int = 3
+    dtype: str = "float32"
+    max_depth: Optional[int] = None
+    max_leaf_n: int = 64
+    ncrit: int = 256
+    mac: str = MAC_BH
+    node_cap: Optional[int] = None
+    frontier_cap: int = 2048
+    m2p_cap: int = 4096
+    p2p_leaf_cap: int = 512
+    p2p_src_cap: int = 8192
+    tile_chunk: int = 1024
+    multipole_order: int = 0
+    kernel_backend: str = "auto"  # "auto" | "xla" | "pallas"
+
+    def __post_init__(self):
+        if self.ndim not in (2, 3):
+            raise ValueError(f"ndim must be 2 or 3, got {self.ndim}")
+        if self.mac not in _VALID_MACS:
+            raise ValueError(f"mac must be one of {_VALID_MACS}, got {self.mac!r}")
+        md = self.max_depth
+        if md is None:
+            object.__setattr__(self, "max_depth", default_max_depth(self.ndim))
+        elif not (1 <= md * self.ndim <= 63):
+            raise ValueError(
+                f"max_depth*ndim must be in [1, 63], got {md}*{self.ndim}")
+        if self.max_leaf_n < 1:
+            raise ValueError("max_leaf_n must be >= 1")
+        if self.ncrit < 1:
+            raise ValueError("ncrit must be >= 1")
+        if self.multipole_order not in (0, 2):
+            raise ValueError("multipole_order must be 0 (monopole) or 2 (quadrupole)")
+        if self.kernel_backend not in ("auto", "xla", "pallas"):
+            raise ValueError("kernel_backend must be auto|xla|pallas")
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def code_bits(self) -> int:
+        return self.max_depth * self.ndim
+
+    def node_capacity(self, n_particles: int) -> int:
+        if self.node_cap is not None:
+            return self.node_cap
+        # Nonempty reached nodes per level <= 2^ndim * (#split nodes at the
+        # previous level) and #split <= N/(max_leaf_n+1); total across levels
+        # is in practice ~2-3x N/max_leaf_n. 8x plus slack is a generous
+        # static cap; overflow is detected and the host retries larger.
+        cap = 8 * (n_particles // max(self.max_leaf_n, 1) + 1) + 4 ** self.ndim
+        return int(cap)
+
+    def with_(self, **kw) -> "TreeConfig":
+        return dataclasses.replace(self, **kw)

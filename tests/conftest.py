@@ -1,0 +1,32 @@
+"""Test env: CPU backend with 8 virtual devices (multi-chip sharding tests
+run on a simulated mesh, SURVEY.md §5 "shard-count invariance"), x64 enabled
+so the fp64 tree path is exercisable (TPU runs stay fp32).
+
+Note: the environment may pre-import jax and force JAX_PLATFORMS=axon (TPU
+tunnel) via sitecustomize, so both the env var and the live jax config are
+overridden here. For fast local iteration run tests as
+`PALLAS_AXON_POOL_IPS= python -m pytest ...` to skip the ~30s TPU tunnel
+registration entirely.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# jax may already be imported (sitecustomize) with platforms=axon baked in
+# from the env; override the live config too.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
