@@ -57,8 +57,15 @@ class TreeData(NamedTuple):
     node_delta: jnp.ndarray        # [M] dist(COM, cell geometric center)
     node_quad: jnp.ndarray         # [M, Q] quadrupole moments (Q=6 for 3D, 3 for 2D; zeros if order<2)
     n_nodes: jnp.ndarray           # [] int32 total nodes used
-    overflow: jnp.ndarray          # [] bool node capacity exceeded
+    overflow: jnp.ndarray          # [] bool node or tile capacity exceeded
     box_size: jnp.ndarray          # [] dtype
+    # target tiles (critical nodes, sub-tiled to <= ncrit particles each;
+    # the reference's traversal work units, SURVEY.md C4 "critical nodes")
+    tile_begin: jnp.ndarray        # [TC] int32 first particle (Morton order)
+    tile_cnt: jnp.ndarray          # [TC] int32 particle count (0 = padding)
+    tile_lo: jnp.ndarray           # [TC, D] AABB of the tile's particles
+    tile_hi: jnp.ndarray           # [TC, D]
+    n_tiles: jnp.ndarray           # [] int32
 
 
 def _quad_dim(ndim: int) -> int:
@@ -140,6 +147,14 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
     offset = jnp.asarray(1, I32)                     # next free node slot
     overflow = jnp.asarray(False)
 
+    # Target-tile grouping: group(i) = deepest node on particle i's path
+    # with count > ncrit. Tiles are ncrit-particle Morton slices *within*
+    # one group, so a tile's AABB is bounded by one tree cell — this is the
+    # TPU re-tuning of rakau's critical nodes (fixed-width work units with
+    # cell-bounded extent instead of ragged <=ncrit cells; SURVEY.md §8
+    # "ncrit retuning").
+    group_slot = jnp.zeros(n, I32)               # root is everyone's default
+
     for lvl in range(1, depth + 1):
         shift = B - lvl * ndim
         khi, klo = morton.pair_shr(hi_s, lo_s, shift)
@@ -149,7 +164,7 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
         prev_alive = jnp.concatenate([jnp.asarray([False]), alive[:-1]])
         head = alive & (~prev_same | ~prev_alive)
         seg = jnp.cumsum(head.astype(I32)) - 1       # segment id among alive
-        n_new = jnp.sum(head.astype(I32))
+        n_new = jnp.sum(head, dtype=I32)
         slot = offset + seg
         slot_c = jnp.where(alive & (slot < M), slot, M)   # drop padding/ovf
 
@@ -208,8 +223,34 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
         overflow = overflow | (offset + n_new > M)
         parent_slot = jnp.where(alive & (slot < M), slot, parent_slot)
         cnt_p = cnt[jnp.clip(slot, 0, M - 1)]
+        group_slot = jnp.where(alive & (slot < M) & (cnt_p > cfg.ncrit),
+                               slot, group_slot)
         alive = alive & (cnt_p > cfg.max_leaf_n) & (lvl < depth) & (slot < M)
         offset = jnp.minimum(offset + n_new, M)
+
+    # ---- target tiles: ncrit-wide Morton slices within each group ----
+    # group_slot is piecewise constant over (possibly repeated) contiguous
+    # segments; a tile starts at each segment head and every ncrit
+    # particles after it.
+    head_g = jnp.concatenate(
+        [jnp.asarray([True]), group_slot[1:] != group_slot[:-1]])
+    seg_begin = jax.lax.cummax(jnp.where(head_g, pidx, 0))
+    pos_in = pidx - seg_begin
+    head_t = head_g | (pos_in % cfg.ncrit == 0)
+    tile_id = jnp.cumsum(head_t.astype(I32)) - 1
+    TC = cfg.tile_capacity(n)
+    n_tiles = jnp.sum(head_t, dtype=I32)
+    overflow = overflow | (n_tiles > TC)
+    tid_c = jnp.where(tile_id < TC, tile_id, TC)
+    tile_begin = jax.ops.segment_min(pidx, tid_c, num_segments=TC + 1)[:TC]
+    tile_cnt = jax.ops.segment_sum(jnp.ones(n, I32), tid_c,
+                                   num_segments=TC + 1)[:TC]
+    tile_begin = jnp.where(tile_cnt > 0, tile_begin, 0)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    tile_lo = jax.ops.segment_min(pos_s, tid_c, num_segments=TC + 1)[:TC]
+    tile_hi = jax.ops.segment_max(pos_s, tid_c, num_segments=TC + 1)[:TC]
+    tile_lo = jnp.where((tile_cnt > 0)[:, None], tile_lo, big)
+    tile_hi = jnp.where((tile_cnt > 0)[:, None], tile_hi, -big)
 
     return TreeData(
         pos=pos_s, mass=mass_s, code_hi=hi_s, code_lo=lo_s,
@@ -219,4 +260,6 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
         node_child_begin=node_child_begin, node_child_count=node_child_count,
         node_is_leaf=node_is_leaf, node_level=node_level,
         node_delta=node_delta, node_quad=node_quad,
-        n_nodes=offset, overflow=overflow, box_size=box_size)
+        n_nodes=offset, overflow=overflow, box_size=box_size,
+        tile_begin=tile_begin, tile_cnt=tile_cnt,
+        tile_lo=tile_lo, tile_hi=tile_hi, n_tiles=n_tiles)

@@ -58,6 +58,7 @@ class TreeConfig:
     ncrit: int = 256
     mac: str = MAC_BH
     node_cap: Optional[int] = None
+    tile_cap: Optional[int] = None
     frontier_cap: int = 2048
     m2p_cap: int = 4096
     p2p_leaf_cap: int = 512
@@ -103,6 +104,14 @@ class TreeConfig:
         # static cap; overflow is detected and the host retries larger.
         cap = 8 * (n_particles // max(self.max_leaf_n, 1) + 1) + 4 ** self.ndim
         return int(cap)
+
+    def tile_capacity(self, n_particles: int) -> int:
+        """Static capacity of the target-tile table (ncrit-wide Morton
+        slices within each deepest >ncrit node; actual count is
+        data-dependent, typically ~1.3x N/ncrit)."""
+        if self.tile_cap is not None:
+            return self.tile_cap
+        return 8 * (-(-n_particles // self.ncrit)) + 64
 
     def with_(self, **kw) -> "TreeConfig":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,119 @@
+"""Query engine: tree + per-call (theta, eps, G) -> accelerations/potentials.
+
+This is the TPU-native equivalent of the reference's `accs_pots_impl`
+dispatch (`tree.hpp`, SURVEY.md §4.2): instead of TBB-parallel DFS per
+critical node + CUDA thread-per-target stacks, target tiles are processed in
+fixed-size chunks — each chunk runs the batched traversal
+(traversal.build_interaction_lists), gathers its M2P/P2P sources into dense
+padded arrays, and evaluates the pairwise kernel. `lax.map` sequences the
+chunks so peak memory is bounded by one chunk's padded lists regardless of N.
+
+Results are produced in internal Morton order (the `_u` view); ordering back
+to user order (`_o`) is a gather by inv_perm at the API layer (SURVEY.md C9).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import traversal
+from .build import TreeData
+from .config import TreeConfig
+
+I32 = jnp.int32
+
+
+def _gather_tiles(td: TreeData, cfg: TreeConfig):
+    """Gather per-tile targets from the critical-node tile table.
+
+    Tiles are the build's critical nodes (sub-tiled to <= ncrit particles,
+    SURVEY.md C4); their particle ranges are contiguous in Morton order but
+    variable-length, so targets are gathered by index with a count mask.
+    Padding targets get index N (dropped on output scatter, never matching
+    a source index)."""
+    n, ndim = td.pos.shape
+    T = cfg.ncrit
+    TC = td.tile_begin.shape[0]
+    CH = min(cfg.tile_chunk, TC)
+    n_chunks = -(-TC // CH)
+    pad = n_chunks * CH - TC
+    big = jnp.asarray(jnp.finfo(td.pos.dtype).max, td.pos.dtype)
+    tb = jnp.pad(td.tile_begin, (0, pad))
+    tc = jnp.pad(td.tile_cnt, (0, pad))
+    tlo = jnp.pad(td.tile_lo, ((0, pad), (0, 0)), constant_values=big)
+    thi = jnp.pad(td.tile_hi, ((0, pad), (0, 0)), constant_values=-big)
+
+    ar = jnp.arange(T, dtype=I32)
+    idx = tb[:, None] + ar                      # [TCp, T]
+    mask = ar < tc[:, None]
+    safe = jnp.where(mask, idx, 0)
+    tiles_pos = td.pos[safe]
+    tiles_idx = jnp.where(mask, idx, n).astype(I32)
+
+    shape = (n_chunks, CH)
+    return (tiles_pos.reshape(shape + (T, ndim)),
+            tiles_idx.reshape(shape + (T,)),
+            tlo.reshape(shape + (ndim,)),
+            thi.reshape(shape + (ndim,)))
+
+
+def _gather_sources(td: TreeData, cfg: TreeConfig, il, dtype):
+    """Interaction lists -> dense padded source arrays [C, S, ...].
+
+    M2P entries are node COM/mass (+ quadrupole moments when enabled); P2P
+    entries gather real particles with their Morton indices (for self
+    exclusion). Padding gets a far-away sentinel position and zero mass so
+    it contributes exactly nothing."""
+    sentinel = jnp.asarray(4.0, dtype) * td.box_size
+
+    mvalid = il.m2p_nodes >= 0
+    mns = jnp.where(mvalid, il.m2p_nodes, 0)
+    m_pos = jnp.where(mvalid[..., None], td.node_com[mns], sentinel)
+    m_mass = jnp.where(mvalid, td.node_mass[mns], 0.0)
+    if cfg.multipole_order >= 2:
+        m_quad = jnp.where(mvalid[..., None], td.node_quad[mns], 0.0)
+    else:
+        m_quad = None
+
+    pvalid = il.p2p_src >= 0
+    pns = jnp.where(pvalid, il.p2p_src, 0)
+    p_pos = jnp.where(pvalid[..., None], td.pos[pns], sentinel)
+    p_mass = jnp.where(pvalid, td.mass[pns], 0.0)
+    p_idx = jnp.where(pvalid, il.p2p_src, -1)
+    return m_pos, m_mass, m_quad, p_pos, p_mass, p_idx
+
+
+def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Accelerations and potentials for all particles, Morton order.
+
+    Returns (acc [N, D], pot [N], overflow flag). Jittable; cfg static."""
+    from .kernels import dispatch  # late import to avoid cycles
+    n, ndim = td.pos.shape
+    dtype = td.pos.dtype
+    tiles_pos, tiles_idx, box_lo, box_hi = _gather_tiles(td, cfg)
+
+    def chunk_fn(args):
+        tpos, tidx, blo, bhi = args
+        il = traversal.build_interaction_lists(td, cfg, theta, blo, bhi)
+        m_pos, m_mass, m_quad, p_pos, p_mass, p_idx = _gather_sources(
+            td, cfg, il, dtype)
+        acc, pot = dispatch.eval_tiles(
+            cfg, tpos, tidx, m_pos, m_mass, m_quad, p_pos, p_mass, p_idx,
+            eps, G)
+        return acc, pot, tidx, il.overflow
+
+    acc, pot, tidx, ovf = jax.lax.map(
+        chunk_fn, (tiles_pos, tiles_idx, box_lo, box_hi))
+    # Scatter tile results back to Morton particle order (tiles partition
+    # the particles; padding targets carry index n and are dropped).
+    flat_idx = tidx.reshape(-1)
+    acc_u = jnp.zeros((n, ndim), dtype).at[flat_idx].set(
+        acc.reshape(-1, ndim), mode="drop")
+    pot_u = jnp.zeros((n,), dtype).at[flat_idx].set(
+        pot.reshape(-1), mode="drop")
+    ovf4 = jnp.any(ovf, axis=0)  # [4]: m2p/p2p_leaf/p2p_src/frontier
+    return acc_u, pot_u, ovf4

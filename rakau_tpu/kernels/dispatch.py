@@ -1,0 +1,36 @@
+"""Kernel backend dispatch (reference analog: the CPU-SIMD vs CUDA/HIP
+backend choice behind rakau's heterogeneous dispatch, SURVEY.md C13-C15 —
+here it picks the pure-XLA reference kernels or the Pallas TPU kernels)."""
+from __future__ import annotations
+
+import jax
+
+from ..config import TreeConfig
+from . import xla
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def eval_tiles(cfg: TreeConfig, tgt_pos, tgt_idx,
+               m2p_pos, m2p_mass, m2p_quad,
+               p2p_pos, p2p_mass, p2p_idx, eps, G):
+    """Sum far-field (M2P) and near-field (P2P) contributions.
+
+    Returns acc [C, T, D], pot [C, T]."""
+    backend = cfg.kernel_backend
+    if backend == "auto":
+        backend = "pallas" if _on_tpu() else "xla"
+    if backend == "pallas":
+        from . import pallas as pk
+        return pk.eval_tiles(tgt_pos, tgt_idx, m2p_pos, m2p_mass, m2p_quad,
+                             p2p_pos, p2p_mass, p2p_idx, eps, G)
+    am, pm = xla.eval_m2p(tgt_pos, m2p_pos, m2p_mass, eps, G,
+                          src_quad=m2p_quad)
+    ap, pp = xla.eval_p2p(tgt_pos, tgt_idx, p2p_pos, p2p_mass, p2p_idx,
+                          eps, G)
+    return am + ap, pm + pp

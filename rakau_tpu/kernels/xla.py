@@ -1,0 +1,166 @@
+"""Pairwise force/potential evaluation — pure-XLA reference backend.
+
+Replaces the reference's xsimd inner loops (`detail/simd.hpp` + kernel
+bodies in `tree.hpp`, SURVEY.md C8): batched targets vs sources with
+Plummer softening, fast rsqrt, self-interaction excluded by index.
+
+Two paths with different precision/throughput trade-offs (both accumulate
+the m*dx*w sums as [T, S] @ [S, D] matmuls that XLA places on the MXU):
+
+  * M2P (far field, node monopoles/quadrupoles): r^2 via the
+    ||t||^2 + ||s||^2 - 2 t.s expansion in a tile-local frame. The MAC
+    guarantees d >= size/theta, which bounds the cancellation error
+    amplification ||t_local||^2 / r^2 to O(theta^2), so the expansion is
+    safe exactly where it is fast.
+  * P2P (near field, real particles): per-component differences, which are
+    Sterbenz-exact for close pairs — the expansion would amplify rounding
+    by ||t_local||^2 / r^2, unbounded as r -> 0.
+
+Both scan over source blocks to bound the [C, T, B] temporaries.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _block_scan(body, init, arrays, block: int, pad_vals):
+    """Split arrays [C, S, ...] into S-blocks and lax.scan body over them."""
+    C = arrays[0].shape[0]
+    S = arrays[0].shape[1]
+    nblk = max(1, -(-S // block))
+    pad = nblk * block - S
+    blks = []
+    for a, pv in zip(arrays, pad_vals):
+        widths = ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2)
+        a = jnp.pad(a, widths, constant_values=pv)
+        a = a.reshape((C, nblk, block) + a.shape[2:])
+        blks.append(jnp.moveaxis(a, 1, 0))
+    out, _ = jax.lax.scan(body, init, tuple(blks))
+    return out
+
+
+def eval_p2p(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, eps, G,
+             block: int = 512):
+    """Near-field particle-particle. tgt_pos [C,T,D], src_pos [C,S,D],
+    src_idx [C,S] Morton particle ids (-1 pad). Returns acc [C,T,D],
+    pot [C,T] (without G; caller scales)."""
+    C, T, D = tgt_pos.shape
+    dtype = tgt_pos.dtype
+    eps2 = jnp.asarray(eps, dtype) ** 2
+
+    def body(carry, blk):
+        acc, pot = carry
+        s, m, idx = blk                                   # [C,B,D],[C,B],[C,B]
+        dds = [s[:, None, :, d] - tgt_pos[:, :, None, d] for d in range(D)]
+        r2 = eps2 + sum(dd * dd for dd in dds)            # [C,T,B]
+        inv_r = jax.lax.rsqrt(r2)
+        excl = idx[:, None, :] == tgt_idx[:, :, None]
+        inv_r = jnp.where(excl | (r2 <= 0), 0.0, inv_r)
+        w = m[:, None, :] * inv_r
+        w3 = w * inv_r * inv_r
+        pot = pot - jnp.sum(w, axis=-1)
+        # Direct per-component accumulation: the matmul re-association
+        # (w3@s - t*sum(w3)) would reintroduce the cancellation for close
+        # pairs, so the near field stays on the VPU.
+        acc = acc + jnp.stack(
+            [jnp.sum(w3 * dd, axis=-1) for dd in dds], axis=-1)
+        return (acc, pot), None
+
+    init = (jnp.zeros((C, T, D), dtype), jnp.zeros((C, T), dtype))
+    acc, pot = _block_scan(body, init, (src_pos, src_mass, src_idx), block,
+                           (1e30, 0.0, -1))
+    return G * acc, G * pot
+
+
+def eval_m2p(tgt_pos, src_pos, src_mass, eps, G, src_quad=None,
+             block: int = 1024):
+    """Far-field node-monopole (+ optional quadrupole) contributions.
+    tgt_pos [C,T,D]; src_pos/src_mass [C,S,...] node COMs/masses (padding
+    mass 0 at a far sentinel). Returns acc [C,T,D], pot [C,T]."""
+    C, T, D = tgt_pos.shape
+    dtype = tgt_pos.dtype
+    eps2 = jnp.asarray(eps, dtype) ** 2
+
+    # Tile-local frame bounds the norm-expansion cancellation (see module
+    # docstring).
+    center = jnp.mean(tgt_pos, axis=1, keepdims=True)
+    t = tgt_pos - center
+    t2 = jnp.sum(t * t, axis=-1)
+
+    def body(carry, blk):
+        acc, pot = carry
+        if src_quad is None:
+            s, m = blk
+            q = None
+        else:
+            s, m, q = blk
+        s = s - center
+        s2 = jnp.sum(s * s, axis=-1)
+        ts = jnp.einsum("ctd,cbd->ctb", t, s,
+                        preferred_element_type=dtype)
+        r2 = jnp.maximum(t2[:, :, None] + s2[:, None, :] - 2 * ts, 0.0) + eps2
+        inv_r = jax.lax.rsqrt(r2)
+        inv_r = jnp.where((m[:, None, :] <= 0) | (r2 <= 0), 0.0, inv_r)
+        w = m[:, None, :] * inv_r
+        w3 = w * inv_r * inv_r
+        pot = pot - jnp.sum(w, axis=-1)
+        acc = acc + jnp.einsum("ctb,cbd->ctd", w3, s,
+                               preferred_element_type=dtype)
+        acc = acc - t * jnp.sum(w3, axis=-1)[:, :, None]
+        if q is not None:
+            acc, pot = _quad_terms(acc, pot, t, s, q, inv_r, dtype)
+        return (acc, pot), None
+
+    init = (jnp.zeros((C, T, D), dtype), jnp.zeros((C, T), dtype))
+    arrays = (src_pos, src_mass) if src_quad is None else (
+        src_pos, src_mass, src_quad)
+    pads = (1e30, 0.0) if src_quad is None else (1e30, 0.0, 0.0)
+    acc, pot = _block_scan(body, init, arrays, block, pads)
+    return G * acc, G * pot
+
+
+def _quad_pairs(ndim: int):
+    pairs = []
+    for a in range(ndim):
+        for b in range(a, ndim):
+            pairs.append((a, b))
+    return pairs
+
+
+def _quad_terms(acc, pot, t, s, q, inv_r, dtype):
+    """Quadrupole correction from raw second moments Q_ab = sum m dx_a dx_b
+    about the node COM (multipole_order=2 accuracy extension; the reference
+    is monopole-only):
+
+      psi      = 1.5 dQd r^-5 - 0.5 trQ r^-3      (phi += -G psi)
+      grad psi = 3 Qd r^-5 + 1.5 trQ d r^-5 - 7.5 dQd d r^-7
+                                                   (acc += G grad psi)
+    with d = t - s the source-to-target vector."""
+    C, T, D = t.shape
+    B = s.shape[1]
+    d = t[:, :, None, :] - s[:, None, :, :]
+    inv2 = inv_r * inv_r
+    inv3 = inv2 * inv_r
+    inv5 = inv3 * inv2
+    inv7 = inv5 * inv2
+    trq = jnp.zeros((C, B), dtype)
+    dqd = jnp.zeros((C, T, B), dtype)
+    qd = jnp.zeros((C, T, B, D), dtype)
+    for ci, (a, b) in enumerate(_quad_pairs(D)):
+        qc = q[:, :, ci]
+        if a == b:
+            trq = trq + qc
+            dqd = dqd + qc[:, None, :] * d[..., a] * d[..., b]
+            qd = qd.at[..., a].add(qc[:, None, :] * d[..., b])
+        else:
+            dqd = dqd + 2 * qc[:, None, :] * d[..., a] * d[..., b]
+            qd = qd.at[..., a].add(qc[:, None, :] * d[..., b])
+            qd = qd.at[..., b].add(qc[:, None, :] * d[..., a])
+    half_tr = 0.5 * trq[:, None, :]
+    pot = pot - (1.5 * dqd * inv5 - half_tr * inv3).sum(-1)
+    term = (3.0 * qd * inv5[..., None]
+            + 3.0 * half_tr[..., None] * d * inv5[..., None]
+            - 7.5 * dqd[..., None] * d * inv7[..., None])
+    acc = acc + term.sum(2)
+    return acc, pot

@@ -1,0 +1,136 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rakau_tpu import build, direct, engine, particles
+from rakau_tpu.config import TreeConfig
+from .helpers import rel_vec_err, rms
+
+
+def tree_acc_pot(pos, mass, cfg, theta, eps=0.0, box_size=None):
+    td = build.build_tree(pos, mass, cfg, box_size=box_size)
+    acc, pot, ovf = engine.acc_pot_u(td, cfg, theta, eps)
+    assert not bool(ovf.any()), f"interaction list overflow {np.asarray(ovf)}"
+    # back to input order for comparison
+    inv = np.asarray(td.inv_perm)
+    return np.asarray(acc)[inv], np.asarray(pot)[inv]
+
+
+# Expected per-theta RMS relative force error envelopes for monopole BH
+# (the reference's accuracy model: error grows with theta; SURVEY.md §5).
+THETA_ENVELOPES = [(0.3, 2e-3), (0.5, 5e-3), (0.75, 2e-2)]
+
+
+@pytest.mark.parametrize("dist", ["uniform", "plummer"])
+def test_accuracy_vs_direct_sum(dist):
+    n = 4096
+    key = jax.random.PRNGKey(7)
+    if dist == "uniform":
+        pos, mass = particles.uniform_cube(key, n)
+    else:
+        pos, mass = particles.plummer(key, n)
+    acc_o, pot_o = direct.direct_acc_pot_np(np.asarray(pos), np.asarray(mass))
+    cfg = TreeConfig(max_depth=10, max_leaf_n=16, ncrit=64, tile_chunk=16,
+                     p2p_leaf_cap=2048)
+    for theta, env in THETA_ENVELOPES:
+        acc, pot = tree_acc_pot(pos, mass, cfg, theta)
+        err = rms(rel_vec_err(acc, acc_o))
+        perr = rms((pot - pot_o) / pot_o)
+        assert err < env, (theta, err)
+        assert perr < env, (theta, perr)
+
+
+def test_theta_zero_is_exact():
+    # theta -> 0 opens everything: pure P2P must equal direct sum closely.
+    n = 512
+    pos, mass = particles.plummer(jax.random.PRNGKey(3), n)
+    cfg = TreeConfig(max_depth=8, max_leaf_n=16, ncrit=32, tile_chunk=8,
+                     p2p_src_cap=1024, m2p_cap=1024)
+    acc, pot = tree_acc_pot(pos, mass, cfg, theta=1e-3)
+    acc_o, pot_o = direct.direct_acc_pot_np(np.asarray(pos), np.asarray(mass))
+    assert rel_vec_err(acc, acc_o).max() < 1e-4
+    np.testing.assert_allclose(pot, pot_o, rtol=1e-4)
+
+
+def test_softening_matches_direct():
+    n = 1024
+    pos, mass = particles.uniform_cube(jax.random.PRNGKey(5), n)
+    cfg = TreeConfig(max_depth=8, max_leaf_n=16, ncrit=64, tile_chunk=4)
+    for eps in [0.01, 0.1]:
+        acc, pot = tree_acc_pot(pos, mass, cfg, theta=0.4, eps=eps)
+        acc_o, pot_o = direct.direct_acc_pot_np(
+            np.asarray(pos), np.asarray(mass), eps=eps)
+        assert rms(rel_vec_err(acc, acc_o)) < 5e-3
+        assert rms((pot - pot_o) / pot_o) < 5e-3
+
+
+def test_2d_quadtree():
+    n = 2048
+    pos, mass = particles.uniform_cube(jax.random.PRNGKey(9), n, ndim=2)
+    cfg = TreeConfig(ndim=2, max_depth=10, max_leaf_n=16, ncrit=64,
+                     tile_chunk=8)
+    acc, pot = tree_acc_pot(pos, mass, cfg, theta=0.5)
+    acc_o, pot_o = direct.direct_acc_pot_np(np.asarray(pos), np.asarray(mass))
+    # 2D uniform disks cancel more of the mean field, so the relative
+    # monopole error is larger than in 3D at the same theta.
+    assert rms(rel_vec_err(acc, acc_o)) < 2e-2
+    assert rms((pot - pot_o) / pot_o) < 2e-2
+
+
+def test_bh_geom_not_worse_than_bh():
+    n = 2048
+    pos, mass = particles.plummer(jax.random.PRNGKey(11), n)
+    acc_o, _ = direct.direct_acc_pot_np(np.asarray(pos), np.asarray(mass))
+    errs = {}
+    for mac in ["bh", "bh_geom"]:
+        cfg = TreeConfig(max_depth=10, max_leaf_n=16, ncrit=64, mac=mac,
+                         tile_chunk=8)
+        acc, _ = tree_acc_pot(pos, mass, cfg, theta=0.6)
+        errs[mac] = rms(rel_vec_err(acc, acc_o))
+    # geometric-center MAC is strictly more conservative
+    assert errs["bh_geom"] <= errs["bh"] * 1.05
+
+
+def test_quadrupole_improves_accuracy():
+    n = 2048
+    pos, mass = particles.plummer(jax.random.PRNGKey(13), n)
+    acc_o, pot_o = direct.direct_acc_pot_np(np.asarray(pos), np.asarray(mass))
+    errs = {}
+    for order in [0, 2]:
+        cfg = TreeConfig(max_depth=10, max_leaf_n=16, ncrit=64,
+                         multipole_order=order, tile_chunk=8)
+        acc, pot = tree_acc_pot(pos, mass, cfg, theta=0.6)
+        errs[order] = rms(rel_vec_err(acc, acc_o))
+    assert errs[2] < errs[0] * 0.5, errs
+
+
+def test_fp64_path():
+    n = 1024
+    pos, mass = particles.plummer(jax.random.PRNGKey(15), n,
+                                  dtype=jnp.float64)
+    cfg = TreeConfig(dtype="float64", max_depth=10, max_leaf_n=16, ncrit=64,
+                     tile_chunk=8)
+    acc, pot = tree_acc_pot(pos.astype(jnp.float64), mass, cfg, theta=0.4)
+    acc_o, pot_o = direct.direct_acc_pot_np(np.asarray(pos), np.asarray(mass))
+    assert rms(rel_vec_err(acc, acc_o)) < 2e-3
+
+
+def test_overflow_reported():
+    n = 2048
+    pos, mass = particles.uniform_cube(jax.random.PRNGKey(17), n)
+    cfg = TreeConfig(max_depth=8, max_leaf_n=16, ncrit=64, tile_chunk=8,
+                     p2p_src_cap=32)  # absurdly small: must overflow
+    td = build.build_tree(pos, mass, cfg)
+    _, _, ovf = engine.acc_pot_u(td, cfg, 0.5, 0.0)
+    assert bool(ovf.any())
+
+
+def test_full_depth_default_config():
+    # Default (depth 21) config end-to-end on a small set.
+    n = 1024
+    pos, mass = particles.plummer(jax.random.PRNGKey(19), n)
+    cfg = TreeConfig(ncrit=64, max_leaf_n=32, tile_chunk=4)
+    acc, pot = tree_acc_pot(pos, mass, cfg, theta=0.5)
+    acc_o, _ = direct.direct_acc_pot_np(np.asarray(pos), np.asarray(mass))
+    assert rms(rel_vec_err(acc, acc_o)) < 5e-3
