@@ -9,6 +9,7 @@ cheap rebuild, and multi-chip sharding over a jax Mesh.
 """
 from .config import TreeConfig, MAC_BH, MAC_BH_GEOM
 from .direct import direct_acc_pot, direct_acc_pot_np
+from .tree import Tree, octree, quadtree
 
 __version__ = "0.1.0"
 
@@ -18,4 +19,7 @@ __all__ = [
     "MAC_BH_GEOM",
     "direct_acc_pot",
     "direct_acc_pot_np",
+    "Tree",
+    "octree",
+    "quadtree",
 ]
