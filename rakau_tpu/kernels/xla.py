@@ -67,7 +67,9 @@ def eval_p2p(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, eps, G,
             [jnp.sum(w3 * dd, axis=-1) for dd in dds], axis=-1)
         return (acc, pot), None
 
-    init = (jnp.zeros((C, T, D), dtype), jnp.zeros((C, T), dtype))
+    # Derive the zero init from the inputs so its sharding/varying type
+    # matches the body outputs under shard_map (see shard-map scan-vma).
+    init = (tgt_pos * 0, tgt_pos[..., 0] * 0)
     acc, pot = _block_scan(body, init, (src_pos, src_mass, src_idx), block,
                            (1e30, 0.0, -1))
     return G * acc, G * pot
@@ -112,7 +114,7 @@ def eval_m2p(tgt_pos, src_pos, src_mass, eps, G, src_quad=None,
             acc, pot = _quad_terms(acc, pot, t, s, q, inv_r, dtype)
         return (acc, pot), None
 
-    init = (jnp.zeros((C, T, D), dtype), jnp.zeros((C, T), dtype))
+    init = (tgt_pos * 0, tgt_pos[..., 0] * 0)
     arrays = (src_pos, src_mass) if src_quad is None else (
         src_pos, src_mass, src_quad)
     pads = (1e30, 0.0) if src_quad is None else (1e30, 0.0, 0.0)

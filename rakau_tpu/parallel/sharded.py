@@ -1,0 +1,131 @@
+"""Multi-chip execution: tile-sharded traversal/evaluation over a Mesh.
+
+The reference's only work-distribution mechanism is the `split` kwarg
+(fractions of the Morton-ordered target range per CPU/GPU device,
+SURVEY.md C15). The TPU-native equivalent distributes the *target tiles*
+of the Morton-sorted particle array across chips in a
+`jax.sharding.Mesh` via `shard_map`; each chip traverses and evaluates
+its tile slice against the (replicated) tree and the partial results are
+combined with a `psum` over disjoint scatter targets — compiled to ICI
+collectives, no hand-written transport (SURVEY.md §6 "distributed
+communication backend").
+
+This round-1 scheme replicates particle and node arrays per chip (fine
+through ~64M particles in fp32 on 16 GB chips) and shards all compute.
+The locally-essential-tree (LET) construction for memory-scaling beyond
+that (BASELINE config #4) is the planned round-2 extension; see
+SURVEY.md §6 "long-context analog".
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import traversal
+from ..build import TreeData, build_tree
+from ..config import TreeConfig
+from ..engine import _gather_sources, _gather_tiles
+from ..kernels import dispatch
+
+I32 = jnp.int32
+
+
+def default_mesh(n_devices: Optional[int] = None, axis: str = "shards"
+                 ) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+    return Mesh(np.array(devs), (axis,))
+
+
+def _chunked_eval(td: TreeData, cfg: TreeConfig, theta, eps, G,
+                  tiles_pos, tiles_idx, box_lo, box_hi):
+    """Traverse+eval a [n_chunks, CH, ...] stack of tile chunks (the body
+    shared with the single-chip engine)."""
+    dtype = td.pos.dtype
+
+    def chunk_fn(args):
+        tpos, tidx, blo, bhi = args
+        il = traversal.build_interaction_lists(td, cfg, theta, blo, bhi)
+        m_pos, m_mass, m_quad, p_pos, p_mass, p_idx = _gather_sources(
+            td, cfg, il, dtype)
+        acc, pot = dispatch.eval_tiles(
+            cfg, tpos, tidx, m_pos, m_mass, m_quad, p_pos, p_mass, p_idx,
+            eps, G)
+        return acc, pot, tidx, il.overflow
+
+    return jax.lax.map(chunk_fn, (tiles_pos, tiles_idx, box_lo, box_hi))
+
+
+def acc_pot_u_sharded(td: TreeData, cfg: TreeConfig, theta, eps, G,
+                      mesh: Mesh, axis: str = "shards"):
+    """Sharded equivalent of engine.acc_pot_u: same results, tiles split
+    across `mesh`. Jittable (cfg/mesh static). Returns (acc, pot, ovf[4])
+    replicated."""
+    n, ndim = td.pos.shape
+    dtype = td.pos.dtype
+    ndev = mesh.shape[axis]
+    tiles_pos, tiles_idx, box_lo, box_hi = _gather_tiles(td, cfg)
+    # [n_chunks, CH, ...] -> pad chunk axis to a multiple of ndev and
+    # shard it.
+    nc = tiles_pos.shape[0]
+    nc_pad = (-nc) % ndev
+
+    def padc(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((nc_pad,) + a.shape[1:], fill, a.dtype)], axis=0)
+
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    tiles_pos = padc(tiles_pos, 0)
+    tiles_idx = padc(tiles_idx, n)      # padding targets dropped on scatter
+    box_lo = padc(box_lo, big)
+    box_hi = padc(box_hi, -big)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+             out_specs=(P(), P(), P()))
+    def run(td_rep, tpos, tidx, blo, bhi):
+        acc_c, pot_c, tidx_c, ovf = _chunked_eval(
+            td_rep, cfg, theta, eps, G, tpos, tidx, blo, bhi)
+        flat_idx = tidx_c.reshape(-1)
+        acc_u = jnp.zeros((n, ndim), dtype).at[flat_idx].set(
+            acc_c.reshape(-1, ndim), mode="drop")
+        pot_u = jnp.zeros((n,), dtype).at[flat_idx].set(
+            pot_c.reshape(-1), mode="drop")
+        # Tiles are disjoint across devices: sum-combine the partials.
+        acc_u = jax.lax.psum(acc_u, axis)
+        pot_u = jax.lax.psum(pot_u, axis)
+        ovf4 = jax.lax.pmax(jnp.any(ovf, axis=0).astype(jnp.int32), axis)
+        return acc_u, pot_u, ovf4.astype(bool)
+
+    return run(td, tiles_pos, tiles_idx, box_lo, box_hi)
+
+
+def acc_pot_sharded(pos, mass, cfg: TreeConfig, theta, eps, G, mesh: Mesh,
+                    axis: str = "shards", box_size=None):
+    """Build (replicated) + sharded query; results in input order."""
+    td = build_tree(pos, mass, cfg, box_size=box_size)
+    acc_u, pot_u, ovf = acc_pot_u_sharded(td, cfg, theta, eps, G, mesh,
+                                          axis)
+    inv = td.inv_perm
+    return acc_u[inv], pot_u[inv], ovf
+
+
+def leapfrog_step_sharded(state, dt, cfg: TreeConfig, theta, eps, G,
+                          mesh: Mesh, axis: str = "shards", box_size=None):
+    """KDK leapfrog step with per-step rebuild, tiles sharded over the
+    mesh (the multi-chip training step; BASELINE config #4 pattern)."""
+    from ..integrate import NBodyState
+    acc0, _, ovf0 = acc_pot_sharded(state.pos, state.mass, cfg, theta, eps,
+                                    G, mesh, axis, box_size)
+    vel_h = state.vel + 0.5 * dt * acc0
+    pos1 = state.pos + dt * vel_h
+    acc1, _, ovf1 = acc_pot_sharded(pos1, state.mass, cfg, theta, eps, G,
+                                    mesh, axis, box_size)
+    vel1 = vel_h + 0.5 * dt * acc1
+    return NBodyState(pos1, vel1, state.mass), ovf0 | ovf1

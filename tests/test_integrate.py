@@ -1,0 +1,62 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rakau_tpu import particles
+from rakau_tpu.config import TreeConfig
+from rakau_tpu import integrate
+
+
+CFG = TreeConfig(max_depth=8, max_leaf_n=16, ncrit=64, tile_chunk=16)
+
+
+def make_plummer_equilibrium(n=1024, seed=23):
+    """Plummer positions with isotropic velocity dispersion ~ virial."""
+    key = jax.random.PRNGKey(seed)
+    pos, mass = particles.plummer(key, n)
+    # crude equilibrium-ish velocities: sigma^2 ~ GM / (6 sqrt(r^2 + 1))
+    r = jnp.linalg.norm(pos, axis=1)
+    sigma = jnp.sqrt(1.0 / (6.0 * jnp.sqrt(r ** 2 + 1.0)))
+    vel = sigma[:, None] * jax.random.normal(jax.random.PRNGKey(seed + 1),
+                                             pos.shape)
+    return integrate.NBodyState(pos.astype(jnp.float32),
+                                vel.astype(jnp.float32), mass)
+
+
+def test_leapfrog_energy_drift():
+    state = make_plummer_equilibrium()
+    eps = 0.05
+    dt = 1e-3
+    e0 = float(integrate.exact_total_energy(state, eps=eps))
+    for _ in range(20):
+        state, ovf = integrate.leapfrog_step(state, dt, CFG, 0.4, eps,
+                                             box_size=64.0)
+    assert not bool(np.asarray(ovf).any())
+    e1 = float(integrate.exact_total_energy(state, eps=eps))
+    drift = abs(e1 - e0) / abs(e0)
+    assert drift < 2e-3, drift
+
+
+def test_leapfrog_reversibility():
+    # KDK is time-reversible: step forward then backward returns start.
+    state = make_plummer_equilibrium(n=512)
+    eps = 0.05
+    s1, _ = integrate.leapfrog_step(state, 1e-3, CFG, 0.4, eps,
+                                    box_size=64.0)
+    s2, _ = integrate.leapfrog_step(s1, -1e-3, CFG, 0.4, eps,
+                                    box_size=64.0)
+    np.testing.assert_allclose(np.asarray(s2.pos), np.asarray(state.pos),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2.vel), np.asarray(state.vel),
+                               atol=1e-4)
+
+
+def test_acc_pot_input_order():
+    # integrate.acc_pot returns results in input order.
+    key = jax.random.PRNGKey(3)
+    pos, mass = particles.plummer(key, 512)
+    from rakau_tpu import direct
+    acc, pot, ovf = integrate.acc_pot(pos, mass, CFG, 0.2, 0.01)
+    acc_d, pot_d = direct.direct_acc_pot(pos, mass, eps=0.01)
+    from .helpers import rel_vec_err, rms
+    assert rms(rel_vec_err(np.asarray(acc), np.asarray(acc_d))) < 2e-3
