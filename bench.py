@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Headline benchmark: particle-accel evaluations/sec/chip at theta=0.75.
+
+BASELINE.json north star: >= 1e9 particle-accel evals/sec/chip on 8M
+particles at theta=0.75, within the per-theta accuracy envelope (RMS
+relative force error vs direct-sum; sampled fp64 oracle).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...aux...}
+
+"value" counts completed full-query particle-acceleration evaluations per
+second per chip (N_particles * reps / wall_time on one chip), the natural
+reading of the north-star metric. The aux block also reports pairwise
+interaction throughput, tree build time, and the sampled RMS force error.
+
+Env knobs: RAKAU_BENCH_N (particles), RAKAU_BENCH_REPS, RAKAU_BENCH_THETA,
+RAKAU_BENCH_PRESET (quick|full).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from rakau_tpu import build, engine, particles
+    from rakau_tpu.config import TreeConfig
+    from rakau_tpu.direct import direct_acc_pot_np
+
+    backend = jax.default_backend()
+    on_accel = backend in ("tpu", "gpu")
+    n = int(os.environ.get("RAKAU_BENCH_N", 8_000_000 if on_accel
+                           else 65_536))
+    reps = int(os.environ.get("RAKAU_BENCH_REPS", 5 if on_accel else 2))
+    theta = float(os.environ.get("RAKAU_BENCH_THETA", 0.75))
+    eps = 0.0
+
+    key = jax.random.PRNGKey(0)
+    pos, mass = particles.plummer(key, n)
+    cfg = TreeConfig(
+        max_depth=int(os.environ.get("RAKAU_BENCH_DEPTH", 14)),
+        max_leaf_n=int(os.environ.get("RAKAU_BENCH_LEAF", 64)),
+        ncrit=int(os.environ.get("RAKAU_BENCH_NCRIT", 256)),
+        tile_chunk=int(os.environ.get("RAKAU_BENCH_CHUNK", 256)),
+        m2p_cap=int(os.environ.get("RAKAU_BENCH_M2P", 8192)),
+        p2p_leaf_cap=int(os.environ.get("RAKAU_BENCH_P2PLEAF", 2048)),
+        p2p_src_cap=int(os.environ.get("RAKAU_BENCH_P2PSRC", 16384)),
+    )
+
+    build_jit = jax.jit(build.build_tree, static_argnames=("cfg",))
+    query_jit = jax.jit(engine.acc_pot_u, static_argnames=("cfg",))
+
+    # --- build (timed separately; the headline is query throughput) ---
+    t0 = time.perf_counter()
+    td = jax.block_until_ready(build_jit(pos, mass, cfg))
+    build_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    td = jax.block_until_ready(build_jit(pos, mass, cfg))
+    build_s = time.perf_counter() - t0
+    if bool(td.overflow):
+        print(json.dumps({"metric": "error", "value": 0.0,
+                          "unit": "tree build overflow",
+                          "vs_baseline": 0.0}))
+        return
+
+    th = jnp.asarray(theta, cfg.jdtype)
+    ep = jnp.asarray(eps, cfg.jdtype)
+    g = jnp.asarray(1.0, cfg.jdtype)
+
+    acc, pot, ovf = jax.block_until_ready(query_jit(td, cfg, th, ep, g))
+    if bool(np.asarray(ovf).any()):
+        # grow caps once coarsely rather than failing
+        cfg = cfg.with_(m2p_cap=4 * cfg.m2p_cap,
+                        p2p_src_cap=4 * cfg.p2p_src_cap,
+                        p2p_leaf_cap=4 * cfg.p2p_leaf_cap)
+        acc, pot, ovf = jax.block_until_ready(query_jit(td, cfg, th, ep, g))
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        acc, pot, ovf = query_jit(td, cfg, th, ep, g)
+    jax.block_until_ready((acc, pot))
+    query_s = (time.perf_counter() - t0) / reps
+
+    evals_per_sec = n / query_s
+
+    # --- sampled accuracy vs fp64 oracle ---
+    n_sample = min(256, n)
+    rng = np.random.default_rng(1)
+    samp = np.sort(rng.choice(n, n_sample, replace=False))
+    pos_np = np.asarray(td.pos, np.float64)
+    mass_np = np.asarray(td.mass, np.float64)
+    acc_o, _ = direct_acc_pot_np(pos_np, mass_np, eps=eps, targets=samp)
+    acc_s = np.asarray(acc)[samp]
+    num = np.linalg.norm(acc_s - acc_o, axis=1)
+    den = np.linalg.norm(acc_o, axis=1)
+    rms_err = float(np.sqrt(np.mean((num / np.maximum(den, 1e-300)) ** 2)))
+
+    out = {
+        "metric": "particle-accel evals/sec/chip at "
+                  f"{n/1e6:.3g}M, theta={theta}",
+        "value": float(evals_per_sec),
+        "unit": "evals/sec/chip",
+        "vs_baseline": float(evals_per_sec / 1e9),
+        "aux": {
+            "backend": backend,
+            "n": n,
+            "theta": theta,
+            "query_ms": query_s * 1e3,
+            "build_ms": build_s * 1e3,
+            "build_cold_ms": build_cold * 1e3,
+            "rms_rel_force_err_sampled": rms_err,
+            "reps": reps,
+            "n_nodes": int(td.n_nodes),
+            "n_tiles": int(td.n_tiles),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
