@@ -86,25 +86,34 @@ def _gather_sources(td: TreeData, cfg: TreeConfig, il, dtype):
     return m_pos, m_mass, m_quad, p_pos, p_mass, p_idx
 
 
+def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
+                tpos, tidx, blo, bhi):
+    """Traversal + gather + kernel for one chunk of tiles (shared by the
+    single-chip and sharded paths)."""
+    from .kernels import dispatch  # late import to avoid cycles
+    il = traversal.build_interaction_lists(td, cfg, theta, blo, bhi)
+    m_pos, m_mass, m_quad, p_pos, p_mass, p_idx = _gather_sources(
+        td, cfg, il, dtype)
+    acc, pot = dispatch.eval_tiles(
+        cfg, tpos, tidx, m_pos, m_mass, m_quad, p_pos, p_mass, p_idx,
+        eps, G, m2p_cnt=il.m2p_count, p2p_cnt=il.p2p_count)
+    return acc, pot, il.overflow
+
+
 def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Accelerations and potentials for all particles, Morton order.
 
     Returns (acc [N, D], pot [N], overflow flag). Jittable; cfg static."""
-    from .kernels import dispatch  # late import to avoid cycles
     n, ndim = td.pos.shape
     dtype = td.pos.dtype
     tiles_pos, tiles_idx, box_lo, box_hi = _gather_tiles(td, cfg)
 
     def chunk_fn(args):
         tpos, tidx, blo, bhi = args
-        il = traversal.build_interaction_lists(td, cfg, theta, blo, bhi)
-        m_pos, m_mass, m_quad, p_pos, p_mass, p_idx = _gather_sources(
-            td, cfg, il, dtype)
-        acc, pot = dispatch.eval_tiles(
-            cfg, tpos, tidx, m_pos, m_mass, m_quad, p_pos, p_mass, p_idx,
-            eps, G)
-        return acc, pot, tidx, il.overflow
+        acc, pot, ovf = _eval_chunk(td, cfg, theta, eps, G, dtype,
+                                    tpos, tidx, blo, bhi)
+        return acc, pot, tidx, ovf
 
     acc, pot, tidx, ovf = jax.lax.map(
         chunk_fn, (tiles_pos, tiles_idx, box_lo, box_hi))

@@ -18,17 +18,20 @@ def _on_tpu() -> bool:
 
 def eval_tiles(cfg: TreeConfig, tgt_pos, tgt_idx,
                m2p_pos, m2p_mass, m2p_quad,
-               p2p_pos, p2p_mass, p2p_idx, eps, G):
+               p2p_pos, p2p_mass, p2p_idx, eps, G,
+               m2p_cnt=None, p2p_cnt=None):
     """Sum far-field (M2P) and near-field (P2P) contributions.
 
-    Returns acc [C, T, D], pot [C, T]."""
+    m2p_cnt/p2p_cnt [C]: per-tile valid source counts (lets the Pallas
+    backend skip padded source blocks). Returns acc [C,T,D], pot [C,T]."""
     backend = cfg.kernel_backend
     if backend == "auto":
-        backend = "pallas" if _on_tpu() else "xla"
-    if backend == "pallas":
+        backend = "pallas" if (_on_tpu() and m2p_quad is None) else "xla"
+    if backend == "pallas" and m2p_quad is None:
         from . import pallas as pk
         return pk.eval_tiles(tgt_pos, tgt_idx, m2p_pos, m2p_mass, m2p_quad,
-                             p2p_pos, p2p_mass, p2p_idx, eps, G)
+                             p2p_pos, p2p_mass, p2p_idx, eps, G,
+                             m2p_cnt=m2p_cnt, p2p_cnt=p2p_cnt)
     am, pm = xla.eval_m2p(tgt_pos, m2p_pos, m2p_mass, eps, G,
                           src_quad=m2p_quad)
     ap, pp = xla.eval_p2p(tgt_pos, tgt_idx, p2p_pos, p2p_mass, p2p_idx,

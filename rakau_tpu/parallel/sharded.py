@@ -28,8 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .. import traversal
 from ..build import TreeData, build_tree
 from ..config import TreeConfig
-from ..engine import _gather_sources, _gather_tiles
-from ..kernels import dispatch
+from ..engine import _eval_chunk, _gather_tiles
 
 I32 = jnp.int32
 
@@ -51,13 +50,9 @@ def _chunked_eval(td: TreeData, cfg: TreeConfig, theta, eps, G,
 
     def chunk_fn(args):
         tpos, tidx, blo, bhi = args
-        il = traversal.build_interaction_lists(td, cfg, theta, blo, bhi)
-        m_pos, m_mass, m_quad, p_pos, p_mass, p_idx = _gather_sources(
-            td, cfg, il, dtype)
-        acc, pot = dispatch.eval_tiles(
-            cfg, tpos, tidx, m_pos, m_mass, m_quad, p_pos, p_mass, p_idx,
-            eps, G)
-        return acc, pot, tidx, il.overflow
+        acc, pot, ovf = _eval_chunk(td, cfg, theta, eps, G, dtype,
+                                    tpos, tidx, blo, bhi)
+        return acc, pot, tidx, ovf
 
     return jax.lax.map(chunk_fn, (tiles_pos, tiles_idx, box_lo, box_hi))
 

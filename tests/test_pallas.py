@@ -1,0 +1,69 @@
+"""Pallas kernel vs XLA reference backend (interpret mode on CPU; the
+same kernels run compiled on TPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rakau_tpu.kernels import pallas as pk
+from rakau_tpu.kernels import xla as xk
+
+
+def make_case(rng, C=3, T=32, Sm=96, Sp=64, n=1000):
+    tgt_pos = jnp.asarray(rng.standard_normal((C, T, 3)), jnp.float32)
+    tgt_idx = jnp.asarray(
+        rng.choice(n, size=(C, T), replace=False).astype(np.int32))
+    m_pos = jnp.asarray(rng.standard_normal((C, Sm, 3)) * 3, jnp.float32)
+    m_mass = jnp.asarray(rng.uniform(0.1, 1, (C, Sm)), jnp.float32)
+    # make some tail entries padding (mass 0, sentinel pos)
+    m_cnt = jnp.asarray(rng.integers(Sm // 2, Sm, C), jnp.int32)
+    ar = jnp.arange(Sm)
+    mvalid = ar[None, :] < m_cnt[:, None]
+    m_pos = jnp.where(mvalid[..., None], m_pos, 1e30)
+    m_mass = jnp.where(mvalid, m_mass, 0.0)
+
+    p_pos = jnp.asarray(rng.standard_normal((C, Sp, 3)), jnp.float32)
+    p_mass = jnp.asarray(rng.uniform(0.1, 1, (C, Sp)), jnp.float32)
+    p_idx = jnp.asarray(rng.integers(0, n, (C, Sp)), jnp.int32)
+    p_cnt = jnp.asarray(rng.integers(Sp // 2, Sp, C), jnp.int32)
+    pvalid = ar[None, :Sp] < p_cnt[:, None]
+    p_pos = jnp.where(pvalid[..., None], p_pos, 1e30)
+    p_mass = jnp.where(pvalid, p_mass, 0.0)
+    p_idx = jnp.where(pvalid, p_idx, -1)
+    # plant some self-pairs: source j equals target j for first few
+    p_pos = p_pos.at[:, :8].set(tgt_pos[:, :8])
+    p_idx = p_idx.at[:, :8].set(tgt_idx[:, :8])
+    return (tgt_pos, tgt_idx, m_pos, m_mass, m_cnt, p_pos, p_mass, p_idx,
+            p_cnt)
+
+
+@pytest.mark.parametrize("eps", [0.0, 0.05])
+def test_pallas_matches_xla(eps, rng):
+    (tgt_pos, tgt_idx, m_pos, m_mass, m_cnt, p_pos, p_mass, p_idx,
+     p_cnt) = make_case(rng)
+    acc_p, pot_p = pk.eval_tiles(
+        tgt_pos, tgt_idx, m_pos, m_mass, None, p_pos, p_mass, p_idx,
+        eps, 1.0, m2p_cnt=m_cnt, p2p_cnt=p_cnt, block=32, interpret=True)
+    am, pm = xk.eval_m2p(tgt_pos, m_pos, m_mass, eps, 1.0)
+    ap, pp = xk.eval_p2p(tgt_pos, tgt_idx, p_pos, p_mass, p_idx, eps, 1.0)
+    np.testing.assert_allclose(np.asarray(acc_p), np.asarray(am + ap),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pot_p), np.asarray(pm + pp),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_block_skip_correctness(rng):
+    # counts much smaller than caps: skipped blocks must not change sums
+    (tgt_pos, tgt_idx, m_pos, m_mass, m_cnt, p_pos, p_mass, p_idx,
+     p_cnt) = make_case(rng, Sm=256, Sp=128)
+    a1, p1 = pk.eval_tiles(tgt_pos, tgt_idx, m_pos, m_mass, None,
+                           p_pos, p_mass, p_idx, 0.01, 1.0,
+                           m2p_cnt=m_cnt, p2p_cnt=p_cnt, block=32,
+                           interpret=True)
+    a2, p2 = pk.eval_tiles(tgt_pos, tgt_idx, m_pos, m_mass, None,
+                           p_pos, p_mass, p_idx, 0.01, 1.0,
+                           block=32, interpret=True)  # no counts: all blocks
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5,
+                               atol=1e-6)
