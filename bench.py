@@ -25,6 +25,8 @@ import numpy as np
 
 
 def main():
+    from rakau_tpu.utils.tpu import ensure_tpu
+    ensure_tpu()
     import jax
     import jax.numpy as jnp
     from rakau_tpu import build, engine, particles

@@ -37,6 +37,9 @@ DEF_BLOCK = 512
 def _kernel(nblk_ref, eps2_ref, tgt_pos_ref, tgt_idx_ref, src_pos_ref,
             src_mass_ref, src_idx_ref, acc_ref, pot_ref, *, ndim,
             use_idx):
+    # Shapes: tgt_pos [1,T,D]; tgt_idx/pot [1,1,T]; src_pos [1,B,D];
+    # src_mass/src_idx [1,1,B]; acc [1,T,D]. Per-tile vectors ride a
+    # [C,1,X] layout so Mosaic's (8,128)-or-full block rule is satisfied.
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -60,17 +63,17 @@ def _kernel(nblk_ref, eps2_ref, tgt_pos_ref, tgt_idx_ref, src_pos_ref,
             dxs.append(dx)
             r2 = r2 + dx * dx
         inv_r = jax.lax.rsqrt(r2)
-        m = src_mass_ref[0, :].reshape(1, B)
+        m = src_mass_ref[0, 0, :].reshape(1, B)
         if use_idx:
-            ti = tgt_idx_ref[0, :].reshape(T, 1)
-            si = src_idx_ref[0, :].reshape(1, B)
+            ti = tgt_idx_ref[0, 0, :].reshape(T, 1)
+            si = src_idx_ref[0, 0, :].reshape(1, B)
             dead = (si == ti) | (r2 <= 0.0)
         else:
             dead = r2 <= 0.0
         inv_r = jnp.where(dead, 0.0, inv_r)
         w = m * inv_r
         w3 = w * inv_r * inv_r
-        pot_ref[0, :] -= jnp.sum(w, axis=1)
+        pot_ref[0, 0, :] -= jnp.sum(w, axis=1)
         for d in range(ndim):
             acc_ref[0, :, d] += jnp.sum(w3 * dxs[d], axis=1)
 
@@ -101,31 +104,33 @@ def _pairwise(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, eps, *,
 
     eps2 = jnp.asarray([jnp.asarray(eps, jnp.float32) ** 2], jnp.float32)
 
+    # [C, 1, X] layout for per-tile vectors (Mosaic block-shape rule).
+    tgt_idx3 = tgt_idx[:, None, :]
+    src_mass3 = src_mass[:, None, :]
+    src_idx3 = src_idx[:, None, :]
+
     def clampj(c, j, nblk_ref, _eps2_ref):
         return (c, jnp.minimum(j, nblk_ref[c] - 1), 0)
 
-    def clampj2(c, j, nblk_ref, _eps2_ref):
-        return (c, jnp.minimum(j, nblk_ref[c] - 1))
+    def clampj3(c, j, nblk_ref, _eps2_ref):
+        return (c, 0, jnp.minimum(j, nblk_ref[c] - 1))
 
     def at_c(c, j, _nblk_ref, _eps2_ref):
         return (c, 0, 0)
-
-    def at_c2(c, j, _nblk_ref, _eps2_ref):
-        return (c, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(C, nblk),
         in_specs=[
             pl.BlockSpec((1, T, D), at_c),
-            pl.BlockSpec((1, T), at_c2),
+            pl.BlockSpec((1, 1, T), at_c),
             pl.BlockSpec((1, block, D), clampj),
-            pl.BlockSpec((1, block), clampj2),
-            pl.BlockSpec((1, block), clampj2),
+            pl.BlockSpec((1, 1, block), clampj3),
+            pl.BlockSpec((1, 1, block), clampj3),
         ],
         out_specs=[
             pl.BlockSpec((1, T, D), at_c),
-            pl.BlockSpec((1, T), at_c2),
+            pl.BlockSpec((1, 1, T), at_c),
         ],
     )
 
@@ -135,11 +140,11 @@ def _pairwise(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, eps, *,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((C, T, D), jnp.float32),
-            jax.ShapeDtypeStruct((C, T), jnp.float32),
+            jax.ShapeDtypeStruct((C, 1, T), jnp.float32),
         ],
         interpret=interpret,
-    )(nblk_per_tile, eps2, tgt_pos, tgt_idx, src_pos, src_mass, src_idx)
-    return acc, pot
+    )(nblk_per_tile, eps2, tgt_pos, tgt_idx3, src_pos, src_mass3, src_idx3)
+    return acc, pot[:, 0, :]
 
 
 def eval_tiles(tgt_pos, tgt_idx, m2p_pos, m2p_mass, m2p_quad,

@@ -1,0 +1,39 @@
+"""TPU attach helpers for the axon-tunneled single-chip environment.
+
+The environment registers the TPU PJRT plugin in sitecustomize; that
+registration can fail transiently (e.g., the previous process's device
+claim has not been released yet). `ensure_tpu` retries the registration
+in-process so benchmarks don't flake."""
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+
+def ensure_tpu(retries: int = 30, sleep_s: float = 15.0) -> bool:
+    """Return True if a TPU backend is live (retrying registration)."""
+    import jax
+    if os.environ.get("JAX_PLATFORMS", "") not in ("axon", "tpu", ""):
+        return False
+    for attempt in range(retries):
+        try:
+            jax.devices()
+            return True
+        except RuntimeError:
+            pass
+        try:
+            from axon.register import register
+            register(
+                None,
+                f"{os.environ.get('PALLAS_AXON_TPU_GEN', 'v5e')}:1x1x1",
+                so_path="/opt/axon/libaxon_pjrt.so",
+                session_id=str(uuid.uuid4()),
+                remote_compile=os.environ.get(
+                    "PALLAS_AXON_REMOTE_COMPILE") == "1",
+            )
+            jax.devices()
+            return True
+        except Exception:
+            time.sleep(sleep_s)
+    return False
