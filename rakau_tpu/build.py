@@ -155,9 +155,17 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
     # "ncrit retuning").
     group_slot = jnp.zeros(n, I32)               # root is everyone's default
 
-    for lvl in range(1, depth + 1):
+    # One level per fori_loop iteration (identical shapes each level; the
+    # per-level code-prefix shift is a traced loop variable). Unrolling
+    # instead would emit ~10 scatter lowerings per level and makes the
+    # XLA:TPU compile time scale with max_depth.
+    def level_body(lvl, carry):
+        (alive, parent_slot, group_slot, offset, overflow,
+         node_com, node_mass, node_begin, node_end, node_child_begin,
+         node_child_count, node_is_leaf, node_level, node_delta,
+         node_quad) = carry
         shift = B - lvl * ndim
-        khi, klo = morton.pair_shr(hi_s, lo_s, shift)
+        khi, klo = morton.pair_shr_dyn(hi_s, lo_s, shift)
         prev_same = jnp.concatenate([
             jnp.asarray([False]),
             (khi[1:] == khi[:-1]) & (klo[1:] == klo[:-1])])
@@ -227,6 +235,20 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
                                slot, group_slot)
         alive = alive & (cnt_p > cfg.max_leaf_n) & (lvl < depth) & (slot < M)
         offset = jnp.minimum(offset + n_new, M)
+        return (alive, parent_slot, group_slot, offset, overflow,
+                node_com, node_mass, node_begin, node_end, node_child_begin,
+                node_child_count, node_is_leaf, node_level, node_delta,
+                node_quad)
+
+    carry = (alive, parent_slot, group_slot, jnp.asarray(1, I32),
+             jnp.asarray(False), node_com, node_mass, node_begin, node_end,
+             node_child_begin, node_child_count, node_is_leaf, node_level,
+             node_delta, node_quad)
+    carry = jax.lax.fori_loop(1, depth + 1, level_body, carry)
+    (alive, parent_slot, group_slot, offset, overflow,
+     node_com, node_mass, node_begin, node_end, node_child_begin,
+     node_child_count, node_is_leaf, node_level, node_delta,
+     node_quad) = carry
 
     # ---- target tiles: ncrit-wide Morton slices within each group ----
     # group_slot is piecewise constant over (possibly repeated) contiguous

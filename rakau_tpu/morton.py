@@ -38,6 +38,20 @@ def pair_shr(hi, lo, s: int):
     return hi >> s, (lo >> s) | (hi << (32 - s))
 
 
+def pair_shr_dyn(hi, lo, s):
+    """(hi, lo) >> s for a TRACED shift s in [0, 63] (used by the
+    fori_loop tree build, where the per-level shift is a loop variable).
+    Shift amounts are clamped to [0, 31] per word so XLA's
+    undefined-behavior range is never hit."""
+    s = jnp.asarray(s, U32)
+    ge32 = s >= U32(32)
+    s1 = jnp.where(ge32, s - U32(32), s)              # [0, 31]
+    carry = jnp.where(s1 == 0, U32(0), hi << ((U32(32) - s1) & U32(31)))
+    new_hi = jnp.where(ge32, U32(0), hi >> s1)
+    new_lo = jnp.where(ge32, hi >> s1, (lo >> s1) | carry)
+    return new_hi, new_lo
+
+
 def _spread_bits(v, ndim: int, depth: int):
     """Spread the low `depth` bits of v so bit b lands at position b*ndim.
 

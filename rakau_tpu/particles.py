@@ -75,16 +75,18 @@ def discretize(pos, box_size, depth: int):
     return c.astype(U32)
 
 
-def cell_center(cells, box_size, depth: int, level: int):
+def cell_center(cells, box_size, depth: int, level):
     """Geometric center of the level-`level` cell containing each particle.
 
-    cells: [N, ndim] uint32 at full `depth` resolution. Used for the
-    bh_geom MAC's COM-to-cell-center offset delta (SURVEY.md C6).
+    cells: [N, ndim] uint32 at full `depth` resolution; `level` may be a
+    traced loop variable. Used for the bh_geom MAC's COM-to-cell-center
+    offset delta (SURVEY.md C6).
     """
-    shift = depth - level
-    coarse = (cells >> U32(shift)).astype(jnp.float32)
-    cell_sz = box_size / (2.0 ** level)
-    return (coarse + 0.5) * cell_sz - box_size / 2.0
+    shift = jnp.asarray(depth, jnp.int32) - jnp.asarray(level, jnp.int32)
+    coarse = (cells >> shift.astype(U32)).astype(box_size.dtype)
+    lv = jnp.asarray(level, box_size.dtype)
+    cell_sz = box_size * jnp.exp2(-lv)
+    return (coarse + 0.5) * cell_sz - box_size / 2
 
 
 def plummer(key, n: int, ndim: int = 3, dtype=jnp.float32, a: float = 1.0,

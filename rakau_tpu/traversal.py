@@ -95,62 +95,82 @@ def build_interaction_lists(td: TreeData, cfg: TreeConfig, theta,
     ovf_frontier = jnp.zeros(C, bool)
 
     # Round 0 processes the root itself (handles the root-is-leaf case);
-    # round r >= 1 processes children at level r.
-    frontier = jnp.zeros((C, 1), I32)          # root slot
-    f_valid = jnp.ones((C, 1), bool)
+    # round r >= 1 MAC-tests the children (at level r) of the surviving
+    # frontier. Rounds 1..max_depth run as ONE fori_loop body with a
+    # uniform frontier width (compile time independent of depth; the
+    # unrolled form emits several scatter lowerings per level and takes
+    # minutes to compile on XLA:TPU).
+    fcap = cfg.frontier_cap
+    k = 2 ** cfg.ndim
 
-    for r in range(cfg.max_depth + 1):
-        if r == 0:
-            cand = frontier
-            cvalid = f_valid
-        else:
-            cb = td.node_child_begin[jnp.where(f_valid, frontier, 0)]
-            cc = td.node_child_count[jnp.where(f_valid, frontier, 0)]
-            k = 2 ** cfg.ndim
-            cand = (cb[:, :, None] + jnp.arange(k, dtype=I32)).reshape(C, -1)
-            cvalid = ((jnp.arange(k, dtype=I32) < cc[:, :, None])
-                      & f_valid[:, :, None]).reshape(C, -1)
-
+    def classify(cand, cvalid, size, m2p, m2p_cnt, p2p_leaf, p2p_leaf_cnt,
+                 ovf_m2p, ovf_leaf):
         cand_s = jnp.where(cvalid, cand, 0)
         com = td.node_com[cand_s]                       # [C, K, D]
         is_leaf = td.node_is_leaf[cand_s]
         mass = td.node_mass[cand_s]
-        # Cell edge length at this level: box / 2^r (static per round).
-        size = td.box_size * (0.5 ** r)
-
         d2 = box_point_dist2(lo, hi, com)               # [C, K]
         if cfg.mac == MAC_BH:
             # Open when size/d >= theta  <=>  accept when d > size/theta.
             thresh = size * inv_theta
-            accept = d2 > thresh * thresh
         else:  # bh_geom: accept when d > size/theta + delta
-            delta = td.node_delta[cand_s]
-            thresh = size * inv_theta + delta
-            accept = d2 > thresh * thresh
-
-        accept = accept & cvalid & (mass > 0)
+            thresh = size * inv_theta + td.node_delta[cand_s]
+        accept = (d2 > thresh * thresh) & cvalid & (mass > 0)
         reject = cvalid & ~accept
         to_p2p = reject & is_leaf
         to_next = reject & ~is_leaf
-
-        m2p, m2p_cnt, ovf1 = _append(m2p, m2p_cnt, accept, cand, cfg.m2p_cap)
+        m2p, m2p_cnt, ovf1 = _append(m2p, m2p_cnt, accept, cand,
+                                     cfg.m2p_cap)
         p2p_leaf, p2p_leaf_cnt, ovf2 = _append(
             p2p_leaf, p2p_leaf_cnt, to_p2p, cand, cfg.p2p_leaf_cap)
-        ovf_m2p = ovf_m2p | ovf1
-        ovf_leaf = ovf_leaf | ovf2
+        return (to_next, m2p, m2p_cnt, p2p_leaf, p2p_leaf_cnt,
+                ovf_m2p | ovf1, ovf_leaf | ovf2)
 
-        if r == cfg.max_depth:
-            break
+    # round 0: the root alone
+    root = jnp.zeros((C, 1), I32)
+    (to_next0, m2p, m2p_cnt, p2p_leaf, p2p_leaf_cnt, ovf_m2p,
+     ovf_leaf) = classify(root, jnp.ones((C, 1), bool), td.box_size,
+                          m2p, m2p_cnt, p2p_leaf, p2p_leaf_cnt,
+                          ovf_m2p, ovf_leaf)
+    # Derive zero-inits from a (possibly shard_map-varying) input so the
+    # fori_loop carry types match under shard_map's varying-axes tracking.
+    vary0 = (box_lo[:, 0] * 0).astype(I32)              # [C] zeros
+    frontier = jnp.zeros((C, fcap), I32) + vary0[:, None]
+    ovf_frontier = ovf_frontier | (vary0 > 0)
+    nf = jnp.sum(to_next0, axis=1, dtype=I32)           # 0 or 1
+
+    def round_body(r, carry):
+        (frontier, nf, m2p, m2p_cnt, p2p_leaf, p2p_leaf_cnt,
+         ovf_m2p, ovf_leaf, ovf_frontier) = carry
+        f_valid = jnp.arange(fcap, dtype=I32)[None, :] < nf[:, None]
+        fr = jnp.where(f_valid, frontier, 0)
+        cb = td.node_child_begin[fr]
+        cc = td.node_child_count[fr]
+        cand = (cb[:, :, None] + jnp.arange(k, dtype=I32)).reshape(C, -1)
+        cvalid = ((jnp.arange(k, dtype=I32) < cc[:, :, None])
+                  & f_valid[:, :, None]).reshape(C, -1)
+        size = td.box_size * jnp.exp2(-r.astype(dtype))
+        (to_next, m2p, m2p_cnt, p2p_leaf, p2p_leaf_cnt, ovf_m2p,
+         ovf_leaf) = classify(cand, cvalid, size, m2p, m2p_cnt, p2p_leaf,
+                              p2p_leaf_cnt, ovf_m2p, ovf_leaf)
         # Compact the next frontier.
-        fcap = min(cfg.frontier_cap, 2 ** (cfg.ndim * (r + 1)))
         pos = jnp.cumsum(to_next.astype(I32), axis=1) - 1
         idx = jnp.where(to_next & (pos < fcap), pos, fcap)
         rows = jnp.arange(C, dtype=I32)[:, None]
-        frontier = jnp.full((C, fcap), 0, I32).at[rows, idx].set(
+        frontier = jnp.zeros((C, fcap), I32).at[rows, idx].set(
             cand, mode="drop")
-        nf = jnp.sum(to_next, axis=1, dtype=I32)
-        ovf_frontier = ovf_frontier | (nf > fcap)
-        f_valid = jnp.arange(fcap, dtype=I32)[None, :] < jnp.minimum(nf, fcap)[:, None]
+        nf_new = jnp.sum(to_next, axis=1, dtype=I32)
+        # The final round's frontier must be empty (max-depth nodes are
+        # always leaves), so unflushed frontier entries can't be lost.
+        ovf_frontier = ovf_frontier | (nf_new > fcap)
+        return (frontier, jnp.minimum(nf_new, fcap), m2p, m2p_cnt,
+                p2p_leaf, p2p_leaf_cnt, ovf_m2p, ovf_leaf, ovf_frontier)
+
+    carry = (frontier, nf, m2p, m2p_cnt, p2p_leaf, p2p_leaf_cnt,
+             ovf_m2p, ovf_leaf, ovf_frontier)
+    carry = jax.lax.fori_loop(1, cfg.max_depth + 1, round_body, carry)
+    (frontier, nf, m2p, m2p_cnt, p2p_leaf, p2p_leaf_cnt,
+     ovf_m2p, ovf_leaf, ovf_frontier) = carry
 
     # Expand P2P leaves into a compact per-tile source-particle index list.
     leaf_s = jnp.where(p2p_leaf >= 0, p2p_leaf, 0)
