@@ -7,19 +7,24 @@ per-tile source arrays, so the kernel is a pure streaming pairwise
 accumulation — target tile resident in VMEM, source blocks pipelined from
 HBM, [T, B] weight panels on the VPU.
 
-Design notes
-------------
-* Per-pair math uses direct per-component differences (Sterbenz-exact for
-  close pairs); with D=3 the matmul re-association cannot beat the VPU
-  (K=3 << 128 wastes the MXU), so the whole kernel is VPU-resident and
-  the FLOP cost is ~16 VPU ops/pair including rsqrt.
-* Per-tile interaction counts vary; the grid covers the static cap but a
-  scalar-prefetched block count clamps the source-block index map (the
-  pipeline skips refetch of an unchanged block) and `pl.when` skips the
-  compute, so padding costs neither HBM bandwidth nor VPU cycles beyond
-  one block.
+Layout notes (learned the hard way on Mosaic):
+* Coordinates are passed as PLANES: targets [C, T, 1] (sublane columns)
+  and sources [C, 1, B] (lane rows), so dx = src - tgt is a native
+  (T,1)x(1,B) VPU broadcast with no relayout. Packing xyz in a minor
+  dim of size 3 forces Mosaic relayouts that spill hundreds of MB of
+  vmem registers.
+* Outputs are planes too: ax/ay/az/pot [C, T, 1], accumulated across the
+  source-block grid dimension (same output block for all j).
+* Per-pair math uses direct per-component differences (Sterbenz-exact
+  for close pairs); with D=3 the matmul re-association cannot beat the
+  VPU (K=3 << 128 wastes the MXU), so the kernel is VPU-resident at
+  ~16 ops/pair including rsqrt.
+* Per-tile interaction counts are scalar-prefetched: the source-block
+  index map clamps to the last active block (the pipeline skips refetch
+  of an unchanged block) and `pl.when` skips the compute, so padded caps
+  cost neither HBM bandwidth nor VPU cycles beyond one block.
 * M2P and P2P share the kernel body; P2P additionally excludes the self
-  pair by Morton index. Softening eps^2 arrives as an SMEM scalar.
+  pair by Morton index (planes [C,T,1] vs [C,1,B]).
 """
 from __future__ import annotations
 
@@ -31,51 +36,51 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-DEF_BLOCK = 512
+DEF_BLOCK = 1024
 
 
-def _kernel(nblk_ref, eps2_ref, tgt_pos_ref, tgt_idx_ref, src_pos_ref,
-            src_mass_ref, src_idx_ref, acc_ref, pot_ref, *, ndim,
-            use_idx):
-    # Shapes: tgt_pos [1,T,D]; tgt_idx/pot [1,1,T]; src_pos [1,B,D];
-    # src_mass/src_idx [1,1,B]; acc [1,T,D]. Per-tile vectors ride a
-    # [C,1,X] layout so Mosaic's (8,128)-or-full block rule is satisfied.
+def _kernel(nblk_ref, eps2_ref, *refs, ndim, use_idx):
+    # refs: tgt planes [1,T,1] x ndim, (tgt_idx [1,T,1] if use_idx),
+    #       src planes [1,1,B] x ndim, src_mass [1,1,B],
+    #       (src_idx [1,1,B] if use_idx),
+    #       outputs: acc planes [1,T,1] x ndim, pot [1,T,1]
+    n_t = ndim + (1 if use_idx else 0)
+    n_s = ndim + 1 + (1 if use_idx else 0)
+    tgt_refs = refs[:n_t]
+    src_refs = refs[n_t:n_t + n_s]
+    out_refs = refs[n_t + n_s:]
     j = pl.program_id(1)
+    c = pl.program_id(0)
 
     @pl.when(j == 0)
     def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        pot_ref[...] = jnp.zeros_like(pot_ref)
-
-    c = pl.program_id(0)
+        for o in out_refs:
+            o[...] = jnp.zeros_like(o)
 
     @pl.when(j < nblk_ref[c])
     def _body():
         eps2 = eps2_ref[0]
-        T = tgt_pos_ref.shape[1]
-        B = src_pos_ref.shape[1]
-        r2 = jnp.full((T, B), eps2, jnp.float32)
         dxs = []
+        r2 = None
         for d in range(ndim):
-            td = tgt_pos_ref[0, :, d].reshape(T, 1)
-            sd = src_pos_ref[0, :, d].reshape(1, B)
-            dx = sd - td
+            dx = src_refs[d][0] - tgt_refs[d][0]      # (1,B)-(T,1)->(T,B)
             dxs.append(dx)
-            r2 = r2 + dx * dx
+            r2 = dx * dx if r2 is None else r2 + dx * dx
+        r2 = r2 + eps2
         inv_r = jax.lax.rsqrt(r2)
-        m = src_mass_ref[0, 0, :].reshape(1, B)
+        m = src_refs[ndim][0]                         # (1, B)
         if use_idx:
-            ti = tgt_idx_ref[0, 0, :].reshape(T, 1)
-            si = src_idx_ref[0, 0, :].reshape(1, B)
+            ti = tgt_refs[ndim][0]                    # (T, 1) int32
+            si = src_refs[ndim + 1][0]                # (1, B) int32
             dead = (si == ti) | (r2 <= 0.0)
         else:
             dead = r2 <= 0.0
         inv_r = jnp.where(dead, 0.0, inv_r)
-        w = m * inv_r
+        w = m * inv_r                                 # (T, B)
         w3 = w * inv_r * inv_r
-        pot_ref[0, 0, :] -= jnp.sum(w, axis=1)
+        out_refs[ndim][0] += -jnp.sum(w, axis=1, keepdims=True)
         for d in range(ndim):
-            acc_ref[0, :, d] += jnp.sum(w3 * dxs[d], axis=1)
+            out_refs[d][0] += jnp.sum(w3 * dxs[d], axis=1, keepdims=True)
 
 
 def _pairwise(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, eps, *,
@@ -95,56 +100,50 @@ def _pairwise(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, eps, *,
                           constant_values=1e30)
         src_mass = jnp.pad(src_mass, ((0, 0), (0, pad)))
         src_idx = jnp.pad(src_idx, ((0, 0), (0, pad)), constant_values=-1)
+    S = nblk * block
 
     if cnt is None:
         cnt = jnp.full((C,), S, jnp.int32)
     active = jnp.minimum(cnt.astype(jnp.int32), S)
     nblk_per_tile = ((jnp.maximum(active, 1) + block - 1)
                      // block).astype(jnp.int32)
-
     eps2 = jnp.asarray([jnp.asarray(eps, jnp.float32) ** 2], jnp.float32)
 
-    # [C, 1, X] layout for per-tile vectors (Mosaic block-shape rule).
-    tgt_idx3 = tgt_idx[:, None, :]
-    src_mass3 = src_mass[:, None, :]
-    src_idx3 = src_idx[:, None, :]
+    # planar layouts
+    tgt_planes = [tgt_pos[:, :, d:d + 1] for d in range(D)]      # [C,T,1]
+    if use_idx:
+        tgt_planes.append(tgt_idx[:, :, None])
+    src_planes = [src_pos[:, None, :, d] for d in range(D)]      # [C,1,S]
+    src_planes.append(src_mass[:, None, :])
+    if use_idx:
+        src_planes.append(src_idx[:, None, :])
 
-    def clampj(c, j, nblk_ref, _eps2_ref):
-        return (c, jnp.minimum(j, nblk_ref[c] - 1), 0)
+    def tspec(_c=None):
+        return pl.BlockSpec((1, T, 1), lambda c, j, nb, e: (c, 0, 0))
 
-    def clampj3(c, j, nblk_ref, _eps2_ref):
-        return (c, 0, jnp.minimum(j, nblk_ref[c] - 1))
-
-    def at_c(c, j, _nblk_ref, _eps2_ref):
-        return (c, 0, 0)
+    def sspec():
+        return pl.BlockSpec(
+            (1, 1, block),
+            lambda c, j, nb, e: (c, 0, jnp.minimum(j, nb[c] - 1)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(C, nblk),
-        in_specs=[
-            pl.BlockSpec((1, T, D), at_c),
-            pl.BlockSpec((1, 1, T), at_c),
-            pl.BlockSpec((1, block, D), clampj),
-            pl.BlockSpec((1, 1, block), clampj3),
-            pl.BlockSpec((1, 1, block), clampj3),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, T, D), at_c),
-            pl.BlockSpec((1, 1, T), at_c),
-        ],
+        in_specs=([tspec() for _ in tgt_planes]
+                  + [sspec() for _ in src_planes]),
+        out_specs=[tspec() for _ in range(D + 1)],
     )
-
     kernel = functools.partial(_kernel, ndim=D, use_idx=use_idx)
-    acc, pot = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((C, T, D), jnp.float32),
-            jax.ShapeDtypeStruct((C, 1, T), jnp.float32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((C, T, 1), jnp.float32)
+                   for _ in range(D + 1)],
         interpret=interpret,
-    )(nblk_per_tile, eps2, tgt_pos, tgt_idx3, src_pos, src_mass3, src_idx3)
-    return acc, pot[:, 0, :]
+    )(nblk_per_tile, eps2, *tgt_planes, *src_planes)
+    acc = jnp.concatenate(outs[:D], axis=2)
+    pot = outs[D][:, :, 0]
+    return acc, pot
 
 
 def eval_tiles(tgt_pos, tgt_idx, m2p_pos, m2p_mass, m2p_quad,

@@ -11,9 +11,22 @@ import time
 import uuid
 
 
+def enable_compile_cache(path: str = "/root/.jax_cache"):
+    """Persistent compilation cache — essential here: Mosaic/XLA compiles
+    of the tree kernels take minutes on this platform."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def ensure_tpu(retries: int = 30, sleep_s: float = 15.0) -> bool:
     """Return True if a TPU backend is live (retrying registration)."""
     import jax
+    enable_compile_cache()
     if os.environ.get("JAX_PLATFORMS", "") not in ("axon", "tpu", ""):
         return False
     for attempt in range(retries):
