@@ -1,0 +1,176 @@
+"""The five BASELINE.json benchmark configurations (SURVEY.md §7).
+
+Each config is runnable at reduced scale (--scale) so the whole
+scoreboard also runs on CPU in CI; full scale reproduces the driver's
+numbers on a real chip. Emits one JSON line per config.
+
+  0: 16k Plummer fp32, theta=0.75, accel+potential vs direct-sum
+  1: 1M uniform cube, softening sweep, rebuild each call
+  2: 8M cold-collapse sphere, leapfrog 100 steps, energy drift
+  3: 64M disk galaxy, mixed precision, incremental re-sort   (scaled)
+  4: 2^28 sharded across a mesh, weak scaling               (scaled,
+     runs on the host-device mesh when no multi-chip TPU is present)
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def log_result(name, **kw):
+    print(json.dumps({"config": name, **kw}), flush=True)
+
+
+def force(x):
+    import jax
+    import numpy as np
+    np.asarray(jax.tree_util.tree_leaves(x)[0])
+    return x
+
+
+def config0(scale):
+    import jax, jax.numpy as jnp, numpy as np
+    from rakau_tpu import particles, build, engine, native
+    from rakau_tpu.config import TreeConfig
+    n = max(1024, int(16384 * scale))
+    pos, mass = particles.plummer(jax.random.PRNGKey(0), n)
+    cfg = TreeConfig(max_depth=12, max_leaf_n=32, ncrit=128, tile_chunk=64,
+                     p2p_leaf_cap=2048)
+    t0 = time.time()
+    td = force(jax.jit(build.build_tree, static_argnames=("cfg",))(
+        pos, mass, cfg))
+    qj = jax.jit(engine.acc_pot_u, static_argnames=("cfg",))
+    acc, pot, ovf = force(qj(td, cfg, jnp.float32(0.75), jnp.float32(0.0),
+                             jnp.float32(1.0)))
+    t1 = time.time()
+    acc_o, pot_o = native.direct_acc_pot(np.asarray(td.pos, np.float64),
+                                         np.asarray(td.mass, np.float64))
+    num = np.linalg.norm(np.asarray(acc) - acc_o, axis=1)
+    den = np.maximum(np.linalg.norm(acc_o, axis=1), 1e-300)
+    rms = float(np.sqrt(np.mean((num / den) ** 2)))
+    prms = float(np.sqrt(np.mean(
+        ((np.asarray(pot) - pot_o) / pot_o) ** 2)))
+    log_result("0:plummer16k-accuracy", n=n, rms_rel_force_err=rms,
+               rms_rel_pot_err=prms, wall_s=t1 - t0,
+               overflow=bool(np.asarray(ovf).any()))
+
+
+def config1(scale):
+    import jax, jax.numpy as jnp, numpy as np
+    from rakau_tpu import particles, integrate
+    from rakau_tpu.config import TreeConfig
+    n = max(4096, int((1 << 20) * scale))
+    pos, mass = particles.uniform_cube(jax.random.PRNGKey(1), n)
+    cfg = TreeConfig(max_depth=12, max_leaf_n=64, ncrit=256, tile_chunk=256,
+                     p2p_leaf_cap=2048)
+    sweeps = {}
+    for eps in (0.0, 1e-3, 1e-2):
+        t0 = time.time()
+        acc, pot, ovf = force(integrate.acc_pot(
+            pos, mass, cfg, jnp.float32(0.75), jnp.float32(eps)))
+        sweeps[str(eps)] = time.time() - t0
+    log_result("1:uniform1M-softening", n=n, per_eps_wall_s=sweeps,
+               evals_per_sec=n / min(sweeps.values()))
+
+
+def config2(scale, steps=None):
+    import jax, jax.numpy as jnp, numpy as np
+    from rakau_tpu import particles, integrate
+    from rakau_tpu.config import TreeConfig
+    n = max(4096, int((1 << 23) * scale))
+    steps = steps or max(4, int(100 * min(1.0, scale * 8)))
+    pos, mass = particles.cold_sphere(jax.random.PRNGKey(2), n)
+    vel = jnp.zeros_like(pos)
+    state = integrate.NBodyState(pos, vel, mass)
+    cfg = TreeConfig(max_depth=12, max_leaf_n=64, ncrit=256, tile_chunk=256,
+                     p2p_leaf_cap=2048, p2p_src_cap=16384)
+    eps = 0.02
+    e0 = float(integrate.exact_total_energy(state, eps=eps)) if n <= 65536 \
+        else None
+    dt = 1e-3
+    t0 = time.time()
+    for _ in range(steps):
+        state, ovf = integrate.leapfrog_step(state, dt, cfg,
+                                             jnp.float32(0.75),
+                                             jnp.float32(eps),
+                                             box_size=8.0)
+    force(state.pos)
+    wall = time.time() - t0
+    drift = None
+    if e0 is not None:
+        e1 = float(integrate.exact_total_energy(state, eps=eps))
+        drift = abs(e1 - e0) / abs(e0)
+    log_result("2:coldcollapse-leapfrog", n=n, steps=steps, wall_s=wall,
+               steps_per_sec=steps / wall,
+               evals_per_sec=2 * n * steps / wall,
+               energy_drift=drift)
+
+
+def config3(scale):
+    import jax, jax.numpy as jnp, numpy as np
+    from rakau_tpu import particles, build, engine
+    from rakau_tpu.config import TreeConfig
+    n = max(8192, int((1 << 26) * scale))
+    pos, mass = particles.disk_galaxy(jax.random.PRNGKey(3), n)
+    cfg = TreeConfig(max_depth=14, max_leaf_n=64, ncrit=256, tile_chunk=256,
+                     p2p_leaf_cap=2048, p2p_src_cap=16384)
+    bj = jax.jit(build.build_tree, static_argnames=("cfg",))
+    td = force(bj(pos, mass, cfg))
+    # incremental step: drift positions slightly, rebuild (near-sorted)
+    drift = 1e-4 * jax.random.normal(jax.random.PRNGKey(4), pos.shape)
+    pos2 = td.pos + drift
+    t0 = time.time()
+    td2 = force(bj(pos2, td.mass, cfg))
+    rebuild_s = time.time() - t0
+    log_result("3:disk-incremental", n=n, rebuild_wall_s=rebuild_s,
+               rebuild_per_sec_particles=n / rebuild_s)
+
+
+def config4(scale):
+    import jax, jax.numpy as jnp, numpy as np
+    from rakau_tpu import particles, integrate
+    from rakau_tpu.parallel import sharded
+    from rakau_tpu.config import TreeConfig
+    ndev = len(jax.devices())
+    n = max(4096, int((1 << 28) * scale))
+    pos, mass = particles.uniform_cube(jax.random.PRNGKey(5), n)
+    cfg = TreeConfig(max_depth=10, max_leaf_n=64, ncrit=256, tile_chunk=64,
+                     p2p_leaf_cap=2048)
+    mesh = sharded.default_mesh(ndev)
+
+    @jax.jit
+    def q(p, m):
+        return sharded.acc_pot_sharded(p, m, cfg, jnp.float32(0.75),
+                                       jnp.float32(0.0), 1.0, mesh)
+
+    acc, pot, ovf = force(q(pos, mass))
+    t0 = time.time()
+    acc, pot, ovf = force(q(pos, mass))
+    wall = time.time() - t0
+    log_result("4:sharded-weakscale", n=n, n_devices=ndev, wall_s=wall,
+               evals_per_sec=n / wall)
+
+
+ALL = [config0, config1, config2, config3, config4]
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=None,
+                    help="fraction of full problem size (default: 1 on "
+                         "accelerators, 1/256 on CPU)")
+    ap.add_argument("--configs", type=str, default="0,1,2,3,4")
+    args = ap.parse_args()
+    from rakau_tpu.utils.tpu import ensure_tpu
+    ensure_tpu()
+    import jax
+    scale = args.scale
+    if scale is None:
+        scale = 1.0 if jax.default_backend() in ("tpu", "gpu") else 1 / 256
+    for i in (int(x) for x in args.configs.split(",")):
+        try:
+            ALL[i](scale)
+        except Exception as e:
+            log_result(f"{i}:FAILED", error=f"{type(e).__name__}: {e}")

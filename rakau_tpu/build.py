@@ -1,22 +1,29 @@
-"""Vectorized, level-synchronous tree construction.
+"""One-shot, scatter-free tree construction.
 
-The reference builds its node list with recursive TBB tasks over the sorted
-Morton codes (`tree.hpp` build internals, SURVEY.md C3/C4): each node stores a
-particle range, children info, COM + total mass, and splits until
-`max_leaf_n`. TPU-native restructuring (SURVEY.md §8 M2, Cornerstone lineage
-[P: 2307.06345]): one pass per level over the sorted code array —
+The reference builds its node list with recursive TBB tasks over sorted
+Morton codes (`tree.hpp` build internals, SURVEY.md C3/C4). The TPU
+restructuring here goes further than a level loop: on this hardware,
+N-sized scatters cost ~10ns/element while sorts, cumulative scans and
+elementwise ops run at full vector rate, so the whole tree is derived in
+one shot from the common-prefix-length (LCP) structure of the sorted codes
+(Cornerstone lineage, [P: 2307.06345]):
 
-  * segment heads found by comparing adjacent code prefixes,
-  * per-node reductions (count, mass, COM, bh_geom delta, optional
-    quadrupole) via `segment_sum` scatters into a flat static-capacity node
-    array,
-  * "alive" particles (those inside nodes that still split) carried to the
-    next level,
+  1. ONE key sort carries every particle payload (positions, masses,
+     cells) — no post-sort gathers; the inverse permutation comes from a
+     second sort, not a scatter.
+  2. cpl[i] = LCP level of neighbors (i-1, i) fully determines cell
+     boundaries; a per-level pass of two running scans yields per-particle
+     leaf levels (deepest ancestor that still splits) and tile-group
+     levels — all elementwise.
+  3. Every node is (level, head-particle): particle i heads exactly the
+     levels (cpl[i], leaf_level[i]], so the node table is an exclusive
+     cumsum + batched binary search + ONE small sort into level-major
+     order (children contiguous by construction).
+  4. Node mass/COM/quadrupole come from double-double prefix sums over
+     the sorted particles, read back by boundary gathers — exact segment
+     sums with no scatter and no cancellation.
 
-producing a flat, level-major node array in which each node's children are
-contiguous (nodes are created in sorted-key order). All shapes static; the
-level loop is unrolled at trace time (max_depth iterations). Capacity
-overflow is detected and reported, never silently truncated.
+Capacity overflow is detected and reported, never silently truncated.
 """
 from __future__ import annotations
 
@@ -26,9 +33,11 @@ import jax
 import jax.numpy as jnp
 
 from . import morton, particles
-from .config import TreeConfig, MAC_BH_GEOM
+from . import scan_utils as su
+from .config import TreeConfig
 
 I32 = jnp.int32
+U32 = jnp.uint32
 
 
 class TreeData(NamedTuple):
@@ -36,7 +45,8 @@ class TreeData(NamedTuple):
 
     Particle arrays are in internal Morton order ("unordered"/`_u` view of
     the reference, SURVEY.md C9); `perm[i]` is the original index of Morton
-    slot i, `inv_perm` its inverse.
+    slot i, `inv_perm` its inverse. Nodes are level-major (slot 0 = root);
+    each node's children occupy contiguous slots.
     """
     # particles (Morton order)
     pos: jnp.ndarray          # [N, D]
@@ -45,7 +55,7 @@ class TreeData(NamedTuple):
     code_lo: jnp.ndarray      # [N] uint32
     perm: jnp.ndarray         # [N] int32
     inv_perm: jnp.ndarray     # [N] int32
-    # flat nodes (level-major; slot 0 = root)
+    # flat nodes
     node_com: jnp.ndarray     # [M, D]
     node_mass: jnp.ndarray    # [M]
     node_begin: jnp.ndarray   # [M] int32 particle range start
@@ -55,16 +65,14 @@ class TreeData(NamedTuple):
     node_is_leaf: jnp.ndarray      # [M] bool
     node_level: jnp.ndarray        # [M] int32
     node_delta: jnp.ndarray        # [M] dist(COM, cell geometric center)
-    node_quad: jnp.ndarray         # [M, Q] quadrupole moments (Q=6 for 3D, 3 for 2D; zeros if order<2)
+    node_quad: jnp.ndarray         # [M, Q] quadrupole moments about COM
     n_nodes: jnp.ndarray           # [] int32 total nodes used
     overflow: jnp.ndarray          # [] bool node or tile capacity exceeded
     box_size: jnp.ndarray          # [] dtype
-    # target tiles (critical nodes, sub-tiled to <= ncrit particles each;
-    # the reference's traversal work units, SURVEY.md C4 "critical nodes")
-    tile_begin: jnp.ndarray        # [TC] int32 first particle (Morton order)
+    # target tiles: ncrit-wide Morton slices within each deepest >ncrit
+    # node (TPU re-tuning of rakau's critical nodes; cell-bounded extent)
+    tile_begin: jnp.ndarray        # [TC] int32 first particle
     tile_cnt: jnp.ndarray          # [TC] int32 particle count (0 = padding)
-    tile_lo: jnp.ndarray           # [TC, D] AABB of the tile's particles
-    tile_hi: jnp.ndarray           # [TC, D]
     n_tiles: jnp.ndarray           # [] int32
 
 
@@ -72,24 +80,39 @@ def _quad_dim(ndim: int) -> int:
     return ndim * (ndim + 1) // 2
 
 
-def _quad_products(dx):
-    """Upper-triangular outer products of dx [..., D] -> [..., Q]."""
-    ndim = dx.shape[-1]
-    comps = []
-    for a in range(ndim):
-        for b in range(a, ndim):
-            comps.append(dx[..., a] * dx[..., b])
-    return jnp.stack(comps, axis=-1)
-
-
 def sort_by_code(code_hi, code_lo, *arrays):
-    """Lexicographic sort by (hi, lo); returns sorted codes, perm, arrays."""
+    """Lexicographic sort by (hi, lo) carrying arrays as sort payloads
+    (payload columns ride the sort; no post-sort gathers)."""
     n = code_hi.shape[0]
     iota = jnp.arange(n, dtype=I32)
-    out = jax.lax.sort((code_hi, code_lo, iota), num_keys=2)
-    hi_s, lo_s, perm = out
-    sorted_arrays = tuple(a[perm] for a in arrays)
-    return hi_s, lo_s, perm, sorted_arrays
+    cols = []
+    splits = []
+    for a in arrays:
+        if a.ndim == 1:
+            cols.append(a)
+            splits.append(None)
+        else:
+            splits.append(a.shape[1])
+            for d in range(a.shape[1]):
+                cols.append(a[:, d])
+    out = jax.lax.sort((code_hi, code_lo, iota) + tuple(cols), num_keys=2)
+    hi_s, lo_s, perm = out[0], out[1], out[2]
+    rest = list(out[3:])
+    sorted_arrays = []
+    for a, s in zip(arrays, splits):
+        if s is None:
+            sorted_arrays.append(rest.pop(0))
+        else:
+            sorted_arrays.append(jnp.stack([rest.pop(0) for _ in range(s)],
+                                           axis=1))
+    return hi_s, lo_s, perm, tuple(sorted_arrays)
+
+
+def _inv_permutation(perm):
+    """Inverse permutation via sort (scatter-free)."""
+    n = perm.shape[0]
+    _, inv = jax.lax.sort((perm, jnp.arange(n, dtype=I32)), num_keys=1)
+    return inv
 
 
 def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
@@ -101,187 +124,182 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
     depth = cfg.max_depth
     B = cfg.code_bits
     qdim = _quad_dim(ndim)
+    dtype = pos.dtype
 
+    # ---- 1. encode + payload sort -------------------------------------
     cells = particles.discretize(pos, box_size, depth)
     chi, clo = morton.encode(cells, ndim, depth)
     hi_s, lo_s, perm, (pos_s, mass_s, cells_s) = sort_by_code(
         chi, clo, pos, mass, cells)
-    inv_perm = jnp.zeros(n, I32).at[perm].set(jnp.arange(n, dtype=I32))
-
-    M = cfg.node_capacity(n)
-    dtype = pos.dtype
-    node_com = jnp.zeros((M, ndim), dtype)
-    node_mass = jnp.zeros(M, dtype)
-    node_begin = jnp.zeros(M, I32)
-    node_end = jnp.zeros(M, I32)
-    node_child_begin = jnp.zeros(M, I32)
-    node_child_count = jnp.zeros(M, I32)
-    node_is_leaf = jnp.ones(M, bool)
-    node_level = jnp.zeros(M, I32)
-    node_delta = jnp.zeros(M, dtype)
-    node_quad = jnp.zeros((M, qdim), dtype)
-
+    inv_perm = _inv_permutation(perm)
     pidx = jnp.arange(n, dtype=I32)
-    mpos = mass_s[:, None] * pos_s
 
-    # --- root (slot 0) ---
-    total_m = jnp.sum(mass_s)
-    safe_m = jnp.where(total_m > 0, total_m, jnp.ones_like(total_m))
-    root_com = jnp.sum(mpos, axis=0) / safe_m
-    node_com = node_com.at[0].set(root_com)
-    node_mass = node_mass.at[0].set(total_m)
-    node_begin = node_begin.at[0].set(0)
-    node_end = node_end.at[0].set(n)
-    root_leaf = n <= cfg.max_leaf_n
-    node_is_leaf = node_is_leaf.at[0].set(root_leaf)
-    node_delta = node_delta.at[0].set(
-        jnp.sqrt(jnp.sum(root_com * root_com)))  # root cell center = origin
+    # ---- 2. LCP structure --------------------------------------------
+    # cpl[i] = number of whole ndim-bit groups shared by codes i-1, i.
+    xh = hi_s[1:] ^ hi_s[:-1]
+    xl = lo_s[1:] ^ lo_s[:-1]
+    eqbits = su.clz64_pair(xh, xl) - (64 - B)
+    cpl = jnp.concatenate([jnp.zeros(1, I32),
+                           jnp.minimum(eqbits // ndim, depth)])
+
+    # Per-particle deepest splitting level (for leaves) and deepest
+    # >ncrit level (for tile groups): counts are non-increasing in level,
+    # so one forward cummax + one backward cummin per level suffice.
+    def level_counts(l):
+        is_head = (pidx == 0) | (cpl < l)
+        L = jax.lax.cummax(jnp.where(is_head, pidx, -1))
+        nxt = jnp.where(is_head, pidx, n)
+        nxt = jnp.concatenate([nxt[1:], jnp.full(1, n, I32)])
+        R = jnp.flip(jax.lax.cummin(jnp.flip(nxt)))
+        return L, R, R - L
+
+    def passA(l, carry):
+        s_leaf, s_grp = carry
+        _, _, cnt = level_counts(l)
+        s_leaf = jnp.where((cnt > cfg.max_leaf_n) & (l < depth), l, s_leaf)
+        s_grp = jnp.where(cnt > cfg.ncrit, l, s_grp)
+        return s_leaf, s_grp
+
+    s_leaf, s_grp = jax.lax.fori_loop(
+        0, depth + 1, passA,
+        (jnp.full(n, -1, I32), jnp.full(n, -1, I32)))
+    lam = jnp.clip(s_leaf + 1, 0, depth)       # leaf level per particle
+    glvl = jnp.maximum(s_grp, 0)               # tile-group level
+
+    # ---- 3. node table ------------------------------------------------
+    # Particle i heads the nodes at levels (cpl[i], lam[i]].
+    nc = jnp.maximum(0, lam - cpl)
+    cum_nc = jnp.cumsum(nc)
+    m1 = cum_nc[-1]
+    M = cfg.node_capacity(n)
+    overflow = (m1 + 1) > M
+
+    k = jnp.arange(M - 1, dtype=I32)
+    p_k = su.searchsorted_1d(cum_nc, k + 1)            # head particle
+    valid_k = k < m1
+    p_c = jnp.clip(p_k, 0, n - 1)
+    prev_cum = jnp.where(p_c > 0, cum_nc[jnp.maximum(p_c - 1, 0)], 0)
+    l_k = cpl[p_c] + 1 + (k - prev_cum)
+    # level-major sort via packed key (level in top 5 bits; begin below —
+    # requires n < 2^27, fine for single-chip shards)
+    key = jnp.where(valid_k,
+                    (l_k.astype(U32) << 27) | p_c.astype(U32),
+                    jnp.asarray(0xFFFFFFFF, U32))
+    skey, sp = jax.lax.sort((key, p_c), num_keys=1)
+    svalid = skey != jnp.asarray(0xFFFFFFFF, U32)
+    slvl = jnp.where(svalid, (skey >> 27).astype(I32), 0)
+    sbegin = jnp.where(svalid, sp, 0)
+
+    # prepend root (level 0, full range); root key is 0 which sorts first
+    # among real keys only if no level-0 dupes exist — prepend explicitly.
+    node_key = jnp.concatenate([jnp.zeros(1, U32), skey])
+    node_level = jnp.concatenate([jnp.zeros(1, I32), slvl])
+    node_begin = jnp.concatenate([jnp.zeros(1, I32), sbegin])
+    node_valid = jnp.concatenate([jnp.ones(1, bool), svalid])
+    n_nodes = m1 + 1
+
+    # ---- 4. per-node counts via per-level boundary scans --------------
+    def passB(l, node_cnt):
+        _, R, _ = level_counts(l)
+        mask = node_valid & (node_level == l)
+        b = node_begin
+        r = R[jnp.clip(b, 0, n - 1)]
+        return jnp.where(mask, r - b, node_cnt)
+
+    node_cnt = jnp.full(M, 0, I32)
+    node_cnt = node_cnt.at[0].set(n)  # root (single-element update)
+    node_cnt = jax.lax.fori_loop(1, depth + 1, passB, node_cnt)
+    node_end = node_begin + node_cnt
+
+    # leaf flag: node level equals its head particle's leaf level
+    lam_h = lam[jnp.clip(node_begin, 0, n - 1)]
+    node_is_leaf = jnp.where(node_valid, node_level >= lam_h, True)
+
+    # ---- 5. children: binary search in the level-major key order ------
+    lvl1 = jnp.clip(node_level + 1, 0, 31).astype(U32)
+    q_lo = (lvl1 << 27) | node_begin.astype(U32)
+    q_hi = (lvl1 << 27) | node_end.astype(U32)
+    cb = su.searchsorted_1d(node_key, q_lo).astype(I32)
+    ce = su.searchsorted_1d(node_key, q_hi).astype(I32)
+    internal = node_valid & ~node_is_leaf
+    node_child_begin = jnp.where(internal, cb, 0)
+    node_child_count = jnp.where(internal, ce - cb, 0)
+
+    # ---- 6. mass/COM/quad via double-double prefix sums ---------------
+    prefixes = [su.dd_cumsum(mass_s)]
+    for d in range(ndim):
+        prefixes.append(su.dd_cumsum(mass_s * pos_s[:, d]))
     if cfg.multipole_order >= 2:
-        node_quad = node_quad.at[0].set(
-            jnp.sum(mass_s[:, None] * _quad_products(pos_s - root_com),
-                    axis=0))
+        for a in range(ndim):
+            for b2 in range(a, ndim):
+                prefixes.append(su.dd_cumsum(
+                    mass_s * pos_s[:, a] * pos_s[:, b2]))
 
-    # per-particle state
-    alive = jnp.full(n, n > cfg.max_leaf_n)          # inside a splitting node
-    parent_slot = jnp.zeros(n, I32)                  # current node per particle
-    offset = jnp.asarray(1, I32)                     # next free node slot
-    overflow = jnp.asarray(False)
+    def seg(pidx_pref):
+        h, l = pidx_pref
+        return su.segment_sum_from_prefix(h, l, node_begin, node_end)
 
-    # Target-tile grouping: group(i) = deepest node on particle i's path
-    # with count > ncrit. Tiles are ncrit-particle Morton slices *within*
-    # one group, so a tile's AABB is bounded by one tree cell — this is the
-    # TPU re-tuning of rakau's critical nodes (fixed-width work units with
-    # cell-bounded extent instead of ragged <=ncrit cells; SURVEY.md §8
-    # "ncrit retuning").
-    group_slot = jnp.zeros(n, I32)               # root is everyone's default
+    msum = seg(prefixes[0])
+    node_mass = jnp.where(node_valid, msum, 0.0).astype(dtype)
+    safe_m = jnp.where(msum != 0, msum, 1.0)
+    node_com = jnp.stack(
+        [seg(prefixes[1 + d]) / safe_m for d in range(ndim)],
+        axis=1).astype(dtype)
 
-    # One level per fori_loop iteration (identical shapes each level; the
-    # per-level code-prefix shift is a traced loop variable). Unrolling
-    # instead would emit ~10 scatter lowerings per level and makes the
-    # XLA:TPU compile time scale with max_depth.
-    def level_body(lvl, carry):
-        (alive, parent_slot, group_slot, offset, overflow,
-         node_com, node_mass, node_begin, node_end, node_child_begin,
-         node_child_count, node_is_leaf, node_level, node_delta,
-         node_quad) = carry
-        shift = B - lvl * ndim
-        khi, klo = morton.pair_shr_dyn(hi_s, lo_s, shift)
-        prev_same = jnp.concatenate([
-            jnp.asarray([False]),
-            (khi[1:] == khi[:-1]) & (klo[1:] == klo[:-1])])
-        prev_alive = jnp.concatenate([jnp.asarray([False]), alive[:-1]])
-        head = alive & (~prev_same | ~prev_alive)
-        seg = jnp.cumsum(head.astype(I32)) - 1       # segment id among alive
-        n_new = jnp.sum(head, dtype=I32)
-        slot = offset + seg
-        slot_c = jnp.where(alive & (slot < M), slot, M)   # drop padding/ovf
+    if cfg.multipole_order >= 2:
+        comps = []
+        ci = 1 + ndim
+        for a in range(ndim):
+            for b2 in range(a, ndim):
+                h, l = su.segment_sum_from_prefix(
+                    *prefixes[ci], node_begin, node_end, dd_out=True)
+                ci += 1
+                # Parallel-axis shift about the COM: S_ab - M c_a c_b.
+                # The shift nearly cancels S for tight far-from-origin
+                # nodes, so subtract from the dd hi word (Sterbenz-exact
+                # regime) and recover the low bits afterwards.
+                t = msum * node_com[:, a] * node_com[:, b2]
+                comps.append((h - t) + l)
+        node_quad = jnp.stack(comps, axis=1).astype(dtype)
+        node_quad = jnp.where(node_valid[:, None], node_quad, 0.0)
+    else:
+        node_quad = jnp.zeros((M, qdim), dtype)
 
-        cnt = jax.ops.segment_sum(jnp.ones(n, I32), slot_c,
-                                  num_segments=M + 1)[:M]
-        msum = jax.ops.segment_sum(jnp.where(alive, mass_s, 0), slot_c,
-                                   num_segments=M + 1)[:M]
-        mpsum = jax.ops.segment_sum(jnp.where(alive[:, None], mpos, 0),
-                                    slot_c, num_segments=M + 1)[:M]
-        bmin = jax.ops.segment_min(jnp.where(alive, pidx, n), slot_c,
-                                   num_segments=M + 1)[:M]
-        bmax = jax.ops.segment_max(jnp.where(alive, pidx, -1), slot_c,
-                                   num_segments=M + 1)[:M]
+    # ---- 7. bh_geom delta: |COM - geometric cell center| --------------
+    head_cells = cells_s[jnp.clip(node_begin, 0, n - 1)]
+    centers = particles.cell_center(head_cells, box_size, depth,
+                                    node_level)
+    dvec = node_com - centers
+    node_delta = jnp.where(
+        node_valid, jnp.sqrt(jnp.sum(dvec * dvec, axis=-1)), 0.0
+    ).astype(dtype)
 
-        made = cnt > 0  # slots actually written this level
-        safe = jnp.where(msum > 0, msum, 1).astype(dtype)
-        com_lvl = mpsum / safe[:, None]
-        node_com = jnp.where(made[:, None], com_lvl, node_com)
-        node_mass = jnp.where(made, msum.astype(dtype), node_mass)
-        node_begin = jnp.where(made, bmin, node_begin)
-        node_end = jnp.where(made, bmax + 1, node_end)
-        leaf_lvl = (cnt <= cfg.max_leaf_n) | (lvl == depth)
-        node_is_leaf = jnp.where(made, leaf_lvl, node_is_leaf)
-        node_level = jnp.where(made, lvl, node_level)
-
-        # bh_geom delta: |COM - geometric cell center| (SURVEY.md C6).
-        centers = particles.cell_center(cells_s, box_size, depth, lvl)
-        cmin = jax.ops.segment_min(
-            jnp.where(alive[:, None], centers, jnp.inf), slot_c,
-            num_segments=M + 1)[:M]
-        dvec = com_lvl - cmin
-        delta_lvl = jnp.sqrt(jnp.sum(dvec * dvec, axis=-1))
-        node_delta = jnp.where(made, delta_lvl.astype(dtype), node_delta)
-
-        if cfg.multipole_order >= 2:
-            com_p = com_lvl[jnp.clip(slot, 0, M - 1)]
-            qp = _quad_products(pos_s - com_p) * mass_s[:, None]
-            qsum = jax.ops.segment_sum(
-                jnp.where(alive[:, None], qp, 0), slot_c,
-                num_segments=M + 1)[:M]
-            node_quad = jnp.where(made[:, None], qsum.astype(dtype),
-                                  node_quad)
-
-        # children bookkeeping on the parents
-        pslot_c = jnp.where(head, parent_slot, M)
-        cb = jax.ops.segment_min(jnp.where(head, slot, M), pslot_c,
-                                 num_segments=M + 1)[:M]
-        cc = jax.ops.segment_sum(head.astype(I32), pslot_c,
-                                 num_segments=M + 1)[:M]
-        has_kids = cc > 0
-        node_child_begin = jnp.where(has_kids, cb, node_child_begin)
-        node_child_count = jnp.where(has_kids, cc, node_child_count)
-
-        # next level (parent_slot must update from the *current* alive set
-        # before alive shrinks: a head at the next level is alive now)
-        overflow = overflow | (offset + n_new > M)
-        parent_slot = jnp.where(alive & (slot < M), slot, parent_slot)
-        cnt_p = cnt[jnp.clip(slot, 0, M - 1)]
-        group_slot = jnp.where(alive & (slot < M) & (cnt_p > cfg.ncrit),
-                               slot, group_slot)
-        alive = alive & (cnt_p > cfg.max_leaf_n) & (lvl < depth) & (slot < M)
-        offset = jnp.minimum(offset + n_new, M)
-        return (alive, parent_slot, group_slot, offset, overflow,
-                node_com, node_mass, node_begin, node_end, node_child_begin,
-                node_child_count, node_is_leaf, node_level, node_delta,
-                node_quad)
-
-    carry = (alive, parent_slot, group_slot, jnp.asarray(1, I32),
-             jnp.asarray(False), node_com, node_mass, node_begin, node_end,
-             node_child_begin, node_child_count, node_is_leaf, node_level,
-             node_delta, node_quad)
-    carry = jax.lax.fori_loop(1, depth + 1, level_body, carry)
-    (alive, parent_slot, group_slot, offset, overflow,
-     node_com, node_mass, node_begin, node_end, node_child_begin,
-     node_child_count, node_is_leaf, node_level, node_delta,
-     node_quad) = carry
-
-    # ---- target tiles: ncrit-wide Morton slices within each group ----
-    # group_slot is piecewise constant over (possibly repeated) contiguous
-    # segments; a tile starts at each segment head and every ncrit
-    # particles after it.
-    head_g = jnp.concatenate(
-        [jnp.asarray([True]), group_slot[1:] != group_slot[:-1]])
+    # ---- 8. tile table ------------------------------------------------
+    glvl_prev = jnp.concatenate([jnp.zeros(1, I32), glvl[:-1]])
+    head_g = (pidx == 0) | (glvl != glvl_prev) | (cpl < glvl)
     seg_begin = jax.lax.cummax(jnp.where(head_g, pidx, 0))
     pos_in = pidx - seg_begin
     head_t = head_g | (pos_in % cfg.ncrit == 0)
-    tile_id = jnp.cumsum(head_t.astype(I32)) - 1
+    cum_t = jnp.cumsum(head_t.astype(I32))
+    n_tiles = cum_t[-1]
     TC = cfg.tile_capacity(n)
-    n_tiles = jnp.sum(head_t, dtype=I32)
     overflow = overflow | (n_tiles > TC)
-    tid_c = jnp.where(tile_id < TC, tile_id, TC)
-    tile_begin = jax.ops.segment_min(pidx, tid_c, num_segments=TC + 1)[:TC]
-    tile_cnt = jax.ops.segment_sum(jnp.ones(n, I32), tid_c,
-                                   num_segments=TC + 1)[:TC]
-    tile_begin = jnp.where(tile_cnt > 0, tile_begin, 0)
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    tile_lo = jax.ops.segment_min(pos_s, tid_c, num_segments=TC + 1)[:TC]
-    tile_hi = jax.ops.segment_max(pos_s, tid_c, num_segments=TC + 1)[:TC]
-    tile_lo = jnp.where((tile_cnt > 0)[:, None], tile_lo, big)
-    tile_hi = jnp.where((tile_cnt > 0)[:, None], tile_hi, -big)
+    tq = jnp.arange(1, TC + 1, dtype=I32)
+    tile_begin = su.searchsorted_1d(cum_t, tq)          # == n if none
+    tnext = jnp.concatenate([tile_begin[1:], jnp.full(1, n, I32)])
+    tvalid = tq <= n_tiles
+    tile_begin = jnp.where(tvalid, tile_begin, 0)
+    tile_cnt = jnp.where(tvalid, jnp.minimum(tnext, n) - tile_begin, 0)
 
     return TreeData(
         pos=pos_s, mass=mass_s, code_hi=hi_s, code_lo=lo_s,
         perm=perm, inv_perm=inv_perm,
         node_com=node_com, node_mass=node_mass,
-        node_begin=node_begin, node_end=node_end,
-        node_child_begin=node_child_begin, node_child_count=node_child_count,
+        node_begin=jnp.where(node_valid, node_begin, 0),
+        node_end=jnp.where(node_valid, node_end, 0),
+        node_child_begin=node_child_begin,
+        node_child_count=node_child_count,
         node_is_leaf=node_is_leaf, node_level=node_level,
         node_delta=node_delta, node_quad=node_quad,
-        n_nodes=offset, overflow=overflow, box_size=box_size,
-        tile_begin=tile_begin, tile_cnt=tile_cnt,
-        tile_lo=tile_lo, tile_hi=tile_hi, n_tiles=n_tiles)
+        n_nodes=n_nodes, overflow=overflow, box_size=box_size,
+        tile_begin=tile_begin, tile_cnt=tile_cnt, n_tiles=n_tiles)

@@ -43,8 +43,6 @@ def _gather_tiles(td: TreeData, cfg: TreeConfig):
     big = jnp.asarray(jnp.finfo(td.pos.dtype).max, td.pos.dtype)
     tb = jnp.pad(td.tile_begin, (0, pad))
     tc = jnp.pad(td.tile_cnt, (0, pad))
-    tlo = jnp.pad(td.tile_lo, ((0, pad), (0, 0)), constant_values=big)
-    thi = jnp.pad(td.tile_hi, ((0, pad), (0, 0)), constant_values=-big)
 
     ar = jnp.arange(T, dtype=I32)
     idx = tb[:, None] + ar                      # [TCp, T]
@@ -52,6 +50,10 @@ def _gather_tiles(td: TreeData, cfg: TreeConfig):
     safe = jnp.where(mask, idx, 0)
     tiles_pos = td.pos[safe]
     tiles_idx = jnp.where(mask, idx, n).astype(I32)
+    # Tile AABBs from the gathered targets (empty tiles get an inverted
+    # far box so every node MAC-accepts trivially and is then masked out).
+    tlo = jnp.min(jnp.where(mask[..., None], tiles_pos, big), axis=1)
+    thi = jnp.max(jnp.where(mask[..., None], tiles_pos, -big), axis=1)
 
     shape = (n_chunks, CH)
     return (tiles_pos.reshape(shape + (T, ndim)),

@@ -83,8 +83,12 @@ def cell_center(cells, box_size, depth: int, level):
     offset delta (SURVEY.md C6).
     """
     shift = jnp.asarray(depth, jnp.int32) - jnp.asarray(level, jnp.int32)
-    coarse = (cells >> shift.astype(U32)).astype(box_size.dtype)
+    shift = shift.astype(U32)
     lv = jnp.asarray(level, box_size.dtype)
+    if shift.ndim and shift.ndim < cells.ndim:
+        shift = shift[..., None]
+        lv = lv[..., None]
+    coarse = (cells >> shift).astype(box_size.dtype)
     cell_sz = box_size * jnp.exp2(-lv)
     return (coarse + 0.5) * cell_sz - box_size / 2
 

@@ -1,0 +1,139 @@
+"""Scan/compaction primitives tuned for XLA:TPU's cost model.
+
+Measured on the target platform (v5e via axon): elementwise/cumulative ops
+run at full vector throughput, XLA's native sort is fast (~2-7 ns/elem),
+but scatter and large random gathers cost ~10 ns/element. The tree
+algorithms here therefore avoid N-sized scatters entirely and express
+reductions/compactions via:
+
+  * double-double (compensated) prefix sums + boundary gathers for exact
+    segment reductions without cancellation (`dd_cumsum`, `segment_sum_from_prefix`),
+  * cumsum + batched binary-search (`compact_indices`) for stream
+    compaction,
+  * count-leading-zeros and common-prefix helpers for Morton LCP logic.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+# ----------------------------------------------------------------- clz
+def clz32(x):
+    """Count leading zeros of uint32 (elementwise, 5-step binary)."""
+    x = x.astype(U32)
+    zero = x == 0
+    n = jnp.zeros(x.shape, I32)
+    for width in (16, 8, 4, 2, 1):
+        empty = x < (U32(1) << (32 - width))   # top `width` bits all zero
+        n = n + jnp.where(empty, width, 0)
+        x = jnp.where(empty, x << width, x)
+    return jnp.where(zero, 32, n)
+
+
+def clz64_pair(hi, lo):
+    """clz of a 64-bit value stored as (hi, lo) uint32."""
+    return jnp.where(hi != 0, clz32(hi), 32 + clz32(lo))
+
+
+# ------------------------------------------------------ double-double
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _dd_add(x, y):
+    """(hi, lo) + (hi, lo) double-double addition (Knuth/Dekker)."""
+    s, e = _two_sum(x[0], y[0])
+    e = e + x[1] + y[1]
+    hi, lo = _two_sum(s, e)
+    return hi, lo
+
+
+def dd_cumsum(v):
+    """Inclusive prefix sum of v with double-double compensation.
+
+    Returns (hi, lo) arrays: hi + lo approximates the exact prefix to
+    ~2^-48 relative error in fp32, so segment sums via prefix differences
+    keep full fp32 accuracy even when the segment is tiny relative to the
+    running total (the cancellation that makes a plain fp32 cumsum
+    unusable for this)."""
+    v = v.astype(jnp.float32)
+    hi, lo = jax.lax.associative_scan(
+        lambda x, y: _dd_add(x, y), (v, jnp.zeros_like(v)))
+    return hi, lo
+
+
+def segment_sum_from_prefix(hi, lo, begin, end, dd_out: bool = False):
+    """Sum over [begin, end) ranges from a dd prefix sum (gathers only).
+
+    begin/end: int32 arrays of any shape; empty ranges yield 0. With
+    dd_out, returns the (hi, lo) double-double pair so callers can keep
+    compensating through further cancellation-prone arithmetic."""
+    def at(i):
+        j = jnp.clip(i, 0, hi.shape[0] - 1)
+        valid = i >= 0
+        return (jnp.where(valid, hi[j], 0.0), jnp.where(valid, lo[j], 0.0))
+
+    h1, l1 = at(end - 1)
+    h0, l0 = at(begin - 1)
+    nh, nl = _dd_add((h1, l1), (-h0, -l0))
+    nonempty = end > begin
+    if dd_out:
+        return jnp.where(nonempty, nh, 0.0), jnp.where(nonempty, nl, 0.0)
+    return jnp.where(nonempty, nh + nl, 0.0)
+
+
+# ------------------------------------------------------- compaction
+def searchsorted_rows(a, v):
+    """Batched-rows searchsorted: a [..., K] sorted rows, v [..., Q]
+    queries; returns leftmost position where a[pos] >= v, in [0, K]
+    (binary search by take_along_axis)."""
+    K = a.shape[-1]
+    steps = max(1, K.bit_length())
+    lo = jnp.zeros(v.shape, I32)
+    hi = jnp.full(v.shape, K, I32)
+    for _ in range(steps):
+        upd = lo < hi
+        mid = (lo + hi) // 2
+        amid = jnp.take_along_axis(a, jnp.clip(mid, 0, K - 1), axis=-1)
+        pred = amid < v
+        lo = jnp.where(upd & pred, mid + 1, lo)
+        hi = jnp.where(upd & ~pred, mid, hi)
+    return lo
+
+
+def compact_indices(mask, cap: int):
+    """Left-compact the True positions of mask [..., K] into [..., cap]
+    index arrays (K for padding), plus counts [...]. Scatter-free:
+    cumsum + batched binary search."""
+    K = mask.shape[-1]
+    csum = jnp.cumsum(mask.astype(I32), axis=-1)
+    cnt = csum[..., -1]
+    tgt = jnp.arange(1, cap + 1, dtype=I32)
+    tgt = jnp.broadcast_to(tgt, mask.shape[:-1] + (cap,))
+    idx = searchsorted_rows(csum, tgt)
+    idx = jnp.where(tgt <= cnt[..., None], idx, K)
+    return idx, cnt
+
+
+def searchsorted_1d(a, v):
+    """searchsorted of a single sorted 1-D array `a` with queries of any
+    shape; leftmost position where a[pos] >= v, in [0, K]."""
+    K = a.shape[0]
+    steps = max(1, K.bit_length())
+    lo = jnp.zeros(v.shape, I32)
+    hi = jnp.full(v.shape, K, I32)
+    for _ in range(steps):
+        upd = lo < hi
+        mid = (lo + hi) // 2
+        amid = a[jnp.clip(mid, 0, K - 1)]
+        pred = amid < v
+        lo = jnp.where(upd & pred, mid + 1, lo)
+        hi = jnp.where(upd & ~pred, mid, hi)
+    return lo

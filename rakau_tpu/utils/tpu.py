@@ -26,9 +26,11 @@ def enable_compile_cache(path: str = "/root/.jax_cache"):
 def ensure_tpu(retries: int = 30, sleep_s: float = 15.0) -> bool:
     """Return True if a TPU backend is live (retrying registration)."""
     import jax
-    enable_compile_cache()
     if os.environ.get("JAX_PLATFORMS", "") not in ("axon", "tpu", ""):
         return False
+    # Cache only TPU executables (CPU AOT entries are host-feature
+    # sensitive and unsafe to share).
+    enable_compile_cache()
     for attempt in range(retries):
         try:
             jax.devices()

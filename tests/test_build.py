@@ -49,12 +49,6 @@ def np_tree_invariants(td, cfg, pos, mass):
     assert np.all(tc[:n_tiles] >= 1) and np.all(tc <= cfg.ncrit)
     np.testing.assert_array_equal(tb[1:], tb[:-1] + tc[:-1])
     assert tb[-1] + tc[-1] == n
-    # AABBs contain their particles
-    tlo = np.asarray(td.tile_lo)[:n_tiles]
-    thi = np.asarray(td.tile_hi)[:n_tiles]
-    for t in range(n_tiles):
-        seg = pos_s[tb[t]:tb[t] + tc[t]]
-        assert np.all(seg >= tlo[t] - 1e-6) and np.all(seg <= thi[t] + 1e-6)
 
     for j in range(n_nodes):
         assert 0 <= begin[j] < end[j] <= n, j
