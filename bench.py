@@ -20,6 +20,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -54,14 +55,19 @@ def main():
     )
 
     build_jit = jax.jit(build.build_tree, static_argnames=("cfg",))
-    query_jit = jax.jit(engine.acc_pot_u, static_argnames=("cfg",))
+    query_jit = jax.jit(partial(engine.acc_pot_u, with_stats=True),
+                        static_argnames=("cfg",))
+
+    def force(x):
+        np.asarray(jax.tree_util.tree_leaves(x)[0])
+        return x
 
     # --- build (timed separately; the headline is query throughput) ---
     t0 = time.perf_counter()
-    td = jax.block_until_ready(build_jit(pos, mass, cfg))
+    td = force(build_jit(pos, mass, cfg))
     build_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
-    td = jax.block_until_ready(build_jit(pos, mass, cfg))
+    td = force(build_jit(pos, mass, cfg))
     build_s = time.perf_counter() - t0
     if bool(td.overflow):
         print(json.dumps({"metric": "error", "value": 0.0,
@@ -73,18 +79,39 @@ def main():
     ep = jnp.asarray(eps, cfg.jdtype)
     g = jnp.asarray(1.0, cfg.jdtype)
 
-    acc, pot, ovf = jax.block_until_ready(query_jit(td, cfg, th, ep, g))
-    if bool(np.asarray(ovf).any()):
-        # grow caps once coarsely rather than failing
+    acc, pot, ovf, mx = force(query_jit(td, cfg, th, ep, g))
+    for _ in range(4):
+        if not bool(np.asarray(ovf).any()):
+            break
         cfg = cfg.with_(m2p_cap=4 * cfg.m2p_cap,
                         p2p_src_cap=4 * cfg.p2p_src_cap,
-                        p2p_leaf_cap=4 * cfg.p2p_leaf_cap)
-        acc, pot, ovf = jax.block_until_ready(query_jit(td, cfg, th, ep, g))
+                        p2p_leaf_cap=4 * cfg.p2p_leaf_cap,
+                        frontier_cap=2 * cfg.frontier_cap)
+        acc, pot, ovf, mx = force(query_jit(td, cfg, th, ep, g))
+
+    # --- shrink caps to measured maxima (padding waste is the main TPU
+    # perf risk, SURVEY.md §8) and re-jit for the timed runs ---
+    if os.environ.get("RAKAU_BENCH_AUTOTUNE", "1") != "0":
+        m2p_max, p2p_max, f_max = (int(x) for x in np.asarray(mx))
+        fit = lambda v, q: max(q, -(-int(v * 1.25) // q) * q)
+        cfg = cfg.with_(m2p_cap=fit(m2p_max, 512),
+                        p2p_src_cap=fit(p2p_max, 1024),
+                        p2p_leaf_cap=max(256, fit(p2p_max, 1024) //
+                                         max(cfg.max_leaf_n // 4, 1)),
+                        frontier_cap=fit(f_max, 256))
+        acc, pot, ovf, mx = force(query_jit(td, cfg, th, ep, g))
+        if bool(np.asarray(ovf).any()):  # paranoia: fall back
+            cfg = cfg.with_(m2p_cap=2 * cfg.m2p_cap,
+                            p2p_src_cap=2 * cfg.p2p_src_cap,
+                            p2p_leaf_cap=2 * cfg.p2p_leaf_cap,
+                            frontier_cap=2 * cfg.frontier_cap)
+            acc, pot, ovf, mx = force(query_jit(td, cfg, th, ep, g))
 
     t0 = time.perf_counter()
     for _ in range(reps):
-        acc, pot, ovf = query_jit(td, cfg, th, ep, g)
+        acc, pot, ovf, mx = query_jit(td, cfg, th, ep, g)
     jax.block_until_ready((acc, pot))
+    np.asarray(acc)
     query_s = (time.perf_counter() - t0) / reps
 
     evals_per_sec = n / query_s

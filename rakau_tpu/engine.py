@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from . import traversal
+from . import scan_utils as su
 from .build import TreeData
 from .config import TreeConfig
 
@@ -99,32 +100,46 @@ def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
     acc, pot = dispatch.eval_tiles(
         cfg, tpos, tidx, m_pos, m_mass, m_quad, p_pos, p_mass, p_idx,
         eps, G, m2p_cnt=il.m2p_count, p2p_cnt=il.p2p_count)
-    return acc, pot, il.overflow
+    return acc, pot, il.overflow, il.maxima
 
 
-def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0
-              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0,
+              with_stats: bool = False):
     """Accelerations and potentials for all particles, Morton order.
 
-    Returns (acc [N, D], pot [N], overflow flag). Jittable; cfg static."""
+    Returns (acc [N, D], pot [N], overflow [4] bool) and, with
+    with_stats, a [3] int32 vector of max (m2p, p2p_src, frontier)
+    counts for cap auto-tuning. Jittable; cfg static."""
     n, ndim = td.pos.shape
     dtype = td.pos.dtype
     tiles_pos, tiles_idx, box_lo, box_hi = _gather_tiles(td, cfg)
 
     def chunk_fn(args):
         tpos, tidx, blo, bhi = args
-        acc, pot, ovf = _eval_chunk(td, cfg, theta, eps, G, dtype,
-                                    tpos, tidx, blo, bhi)
-        return acc, pot, tidx, ovf
+        acc, pot, ovf, mx = _eval_chunk(td, cfg, theta, eps, G, dtype,
+                                        tpos, tidx, blo, bhi)
+        return acc, pot, tidx, ovf, mx
 
-    acc, pot, tidx, ovf = jax.lax.map(
+    acc, pot, tidx, ovf, mx = jax.lax.map(
         chunk_fn, (tiles_pos, tiles_idx, box_lo, box_hi))
-    # Scatter tile results back to Morton particle order (tiles partition
-    # the particles; padding targets carry index n and are dropped).
-    flat_idx = tidx.reshape(-1)
-    acc_u = jnp.zeros((n, ndim), dtype).at[flat_idx].set(
-        acc.reshape(-1, ndim), mode="drop")
-    pot_u = jnp.zeros((n,), dtype).at[flat_idx].set(
-        pot.reshape(-1), mode="drop")
+    # Particles are partitioned by tiles in Morton order, so results map
+    # back by a monotone gather: particle i lives in the tile whose begin
+    # is the last one <= i, at offset i - begin (scatter-free).
+    TCp = tidx.shape[0] * tidx.shape[1]
+    tb_padded = jnp.pad(td.tile_begin, (0, TCp - td.tile_begin.shape[0]),
+                        constant_values=n)
+    # searchsorted rightmost: first tile with begin > i, minus one
+    p = jnp.arange(n, dtype=I32)
+    t_of_p = su.searchsorted_1d(
+        jnp.where(jnp.arange(TCp, dtype=I32) < td.n_tiles,
+                  tb_padded, n), p + 1) - 1
+    t_of_p = jnp.clip(t_of_p, 0, TCp - 1)
+    off = p - tb_padded[jnp.clip(t_of_p, 0, td.tile_begin.shape[0] - 1)]
+    off = jnp.clip(off, 0, cfg.ncrit - 1)
+    T = cfg.ncrit
+    acc_u = acc.reshape(-1, T, ndim)[t_of_p, off]
+    pot_u = pot.reshape(-1, T)[t_of_p, off]
     ovf4 = jnp.any(ovf, axis=0)  # [4]: m2p/p2p_leaf/p2p_src/frontier
+    if with_stats:
+        return acc_u, pot_u, ovf4, jnp.max(mx, axis=0)
     return acc_u, pot_u, ovf4

@@ -50,8 +50,8 @@ def _chunked_eval(td: TreeData, cfg: TreeConfig, theta, eps, G,
 
     def chunk_fn(args):
         tpos, tidx, blo, bhi = args
-        acc, pot, ovf = _eval_chunk(td, cfg, theta, eps, G, dtype,
-                                    tpos, tidx, blo, bhi)
+        acc, pot, ovf, _mx = _eval_chunk(td, cfg, theta, eps, G, dtype,
+                                         tpos, tidx, blo, bhi)
         return acc, pot, tidx, ovf
 
     return jax.lax.map(chunk_fn, (tiles_pos, tiles_idx, box_lo, box_hi))

@@ -41,6 +41,8 @@ class InteractionLists(NamedTuple):
     p2p_count: jnp.ndarray   # [C]
     overflow: jnp.ndarray    # [4] bool: (m2p, p2p_leaf, p2p_src, frontier)
                              # cap exceeded in this chunk (never silent)
+    maxima: jnp.ndarray      # [3] int32: max (m2p, p2p_src, frontier)
+                             # counts in this chunk (for cap auto-tuning)
 
 
 def tile_aabbs(pos, n_tiles: int, tile: int):
@@ -141,7 +143,7 @@ def build_interaction_lists(td: TreeData, cfg: TreeConfig, theta,
 
     def round_body(r, carry):
         (frontier, nf, m2p, m2p_cnt, p2p_leaf, p2p_leaf_cnt,
-         ovf_m2p, ovf_leaf, ovf_frontier) = carry
+         ovf_m2p, ovf_leaf, ovf_frontier, nf_max) = carry
         f_valid = jnp.arange(fcap, dtype=I32)[None, :] < nf[:, None]
         fr = jnp.where(f_valid, frontier, 0)
         cb = td.node_child_begin[fr]
@@ -163,14 +165,16 @@ def build_interaction_lists(td: TreeData, cfg: TreeConfig, theta,
         # The final round's frontier must be empty (max-depth nodes are
         # always leaves), so unflushed frontier entries can't be lost.
         ovf_frontier = ovf_frontier | (nf_new > fcap)
+        nf_max = jnp.maximum(nf_max, jnp.max(nf_new))
         return (frontier, jnp.minimum(nf_new, fcap), m2p, m2p_cnt,
-                p2p_leaf, p2p_leaf_cnt, ovf_m2p, ovf_leaf, ovf_frontier)
+                p2p_leaf, p2p_leaf_cnt, ovf_m2p, ovf_leaf, ovf_frontier,
+                nf_max)
 
     carry = (frontier, nf, m2p, m2p_cnt, p2p_leaf, p2p_leaf_cnt,
-             ovf_m2p, ovf_leaf, ovf_frontier)
+             ovf_m2p, ovf_leaf, ovf_frontier, jnp.max(nf))
     carry = jax.lax.fori_loop(1, cfg.max_depth + 1, round_body, carry)
     (frontier, nf, m2p, m2p_cnt, p2p_leaf, p2p_leaf_cnt,
-     ovf_m2p, ovf_leaf, ovf_frontier) = carry
+     ovf_m2p, ovf_leaf, ovf_frontier, nf_max) = carry
 
     # Expand P2P leaves into a compact per-tile source-particle index list.
     leaf_s = jnp.where(p2p_leaf >= 0, p2p_leaf, 0)
@@ -195,4 +199,5 @@ def build_interaction_lists(td: TreeData, cfg: TreeConfig, theta,
         m2p_nodes=m2p, m2p_count=m2p_cnt,
         p2p_src=p2p_src, p2p_count=jnp.minimum(total, scap),
         overflow=jnp.stack([jnp.any(ovf_m2p), jnp.any(ovf_leaf),
-                            jnp.any(ovf_src), jnp.any(ovf_frontier)]))
+                            jnp.any(ovf_src), jnp.any(ovf_frontier)]),
+        maxima=jnp.stack([jnp.max(m2p_cnt), jnp.max(total), nf_max]))
