@@ -146,16 +146,156 @@ def _pairwise(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, eps, *,
     return acc, pot
 
 
+def _fused_kernel(nblk_ref, eps2_ref, *refs, ndim, block):
+    """Grid is (C,): one step evaluates one whole tile against both its
+    M2P and P2P source rows, looping over source blocks with a dynamic
+    (count-derived) trip bound. Work per grid step is T*S pairs, which
+    amortizes the per-step pipeline overhead that bounded the blocked
+    variant to ~20 Gpairs/s.
+
+    refs: tgt planes x ndim [1,T,1], tgt_idx [1,T,1],
+          m2p planes x ndim [1,1,Sm], m2p_mass [1,1,Sm],
+          p2p planes x ndim [1,1,Sp], p2p_mass [1,1,Sp], p2p_idx [1,1,Sp],
+          outs: acc planes x ndim [1,T,1], pot [1,T,1].
+    nblk_ref: [C, 2] int32 active blocks per (m2p, p2p)."""
+    c = pl.program_id(0)
+    n_t = ndim + 1
+    tgt_refs = refs[:ndim]
+    ti_ref = refs[ndim]
+    m_refs = refs[n_t:n_t + ndim + 1]
+    p_refs = refs[n_t + ndim + 1:n_t + 2 * ndim + 3]
+    out_refs = refs[n_t + 2 * ndim + 3:]
+    eps2 = eps2_ref[0]
+
+    T = tgt_refs[0].shape[1]
+    tcols = [r[0] for r in tgt_refs]                   # (T, 1)
+    ti = ti_ref[0]                                     # (T, 1) int32
+
+    acc = [jnp.zeros((T, 1), jnp.float32) for _ in range(ndim)]
+    pot = jnp.zeros((T, 1), jnp.float32)
+
+    def make_body(refs_s, use_idx):
+        def body(j, carry):
+            accs, pot = carry
+            off = j * block
+            srows = [refs_s[d][0, :, pl.ds(off, block)]
+                     for d in range(ndim)]              # (1, B)
+            m = refs_s[ndim][0, :, pl.ds(off, block)]
+            dxs = []
+            r2 = None
+            for d in range(ndim):
+                dx = srows[d] - tcols[d]
+                dxs.append(dx)
+                r2 = dx * dx if r2 is None else r2 + dx * dx
+            r2 = r2 + eps2
+            inv_r = jax.lax.rsqrt(r2)
+            if use_idx:
+                si = refs_s[ndim + 1][0, :, pl.ds(off, block)]
+                dead = (si == ti) | (r2 <= 0.0)
+            else:
+                dead = r2 <= 0.0
+            inv_r = jnp.where(dead, 0.0, inv_r)
+            w = m * inv_r
+            w3 = w * inv_r * inv_r
+            pot = pot - jnp.sum(w, axis=1, keepdims=True)
+            accs = [a + jnp.sum(w3 * dx, axis=1, keepdims=True)
+                    for a, dx in zip(accs, dxs)]
+            return accs, pot
+        return body
+
+    acc, pot = jax.lax.fori_loop(0, nblk_ref[c, 0],
+                                 make_body(m_refs, False), (acc, pot))
+    acc, pot = jax.lax.fori_loop(0, nblk_ref[c, 1],
+                                 make_body(p_refs, True), (acc, pot))
+    for d in range(ndim):
+        out_refs[d][0] = acc[d]
+    out_refs[ndim][0] = pot
+
+
+def eval_tiles_fused(tgt_pos, tgt_idx, m2p_pos, m2p_mass,
+                     p2p_pos, p2p_mass, p2p_idx, eps, G,
+                     m2p_cnt=None, p2p_cnt=None,
+                     block: int = DEF_BLOCK, interpret: bool = False):
+    """One pallas launch per chunk: both source classes, whole rows
+    VMEM-resident, count-bounded inner loops."""
+    C, T, D = tgt_pos.shape
+    block = min(block, m2p_pos.shape[1], p2p_pos.shape[1])
+
+    def prep(src_pos, src_mass, cnt, src_idx=None):
+        S = src_pos.shape[1]
+        b = block
+        nb = -(-S // b)
+        pad = nb * b - S
+        if pad:
+            src_pos = jnp.pad(src_pos, ((0, 0), (0, pad), (0, 0)),
+                              constant_values=1e30)
+            src_mass = jnp.pad(src_mass, ((0, 0), (0, pad)))
+            if src_idx is not None:
+                src_idx = jnp.pad(src_idx, ((0, 0), (0, pad)),
+                                  constant_values=-1)
+        S = nb * b
+        if cnt is None:
+            cnt = jnp.full((C,), S, jnp.int32)
+        nblk = ((jnp.clip(cnt, 0, S) + b - 1) // b).astype(jnp.int32)
+        planes = [src_pos[:, None, :, d] for d in range(D)]
+        planes.append(src_mass[:, None, :])
+        if src_idx is not None:
+            planes.append(src_idx[:, None, :])
+        return planes, nblk, S, b
+
+    m_planes, m_nblk, Sm, bm = prep(m2p_pos, m2p_mass, m2p_cnt)
+    p_planes, p_nblk, Sp, bp = prep(p2p_pos, p2p_mass, p2p_cnt, p2p_idx)
+    assert bm == bp, "m2p/p2p must share a block size"
+    nblk2 = jnp.stack([m_nblk, p_nblk], axis=1)
+    eps2 = jnp.asarray([jnp.asarray(eps, jnp.float32) ** 2], jnp.float32)
+
+    tgt_planes = [tgt_pos[:, :, d:d + 1] for d in range(D)]
+    tgt_planes.append(tgt_idx[:, :, None])
+
+    def tspec():
+        return pl.BlockSpec((1, T, 1), lambda c, nb, e: (c, 0, 0))
+
+    def sspec(S):
+        return pl.BlockSpec((1, 1, S), lambda c, nb, e: (c, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(C,),
+        in_specs=([tspec() for _ in tgt_planes]
+                  + [sspec(Sm) for _ in m_planes]
+                  + [sspec(Sp) for _ in p_planes]),
+        out_specs=[tspec() for _ in range(D + 1)],
+    )
+    kernel = functools.partial(_fused_kernel, ndim=D, block=bm)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((C, T, 1), jnp.float32)
+                   for _ in range(D + 1)],
+        interpret=interpret,
+    )(nblk2, eps2, *tgt_planes, *m_planes, *p_planes)
+    acc = jnp.concatenate(outs[:D], axis=2)
+    pot = outs[D][:, :, 0]
+    G = jnp.asarray(G, tgt_pos.dtype)
+    return G * acc, G * pot
+
+
 def eval_tiles(tgt_pos, tgt_idx, m2p_pos, m2p_mass, m2p_quad,
                p2p_pos, p2p_mass, p2p_idx, eps, G,
                m2p_cnt=None, p2p_cnt=None,
-               block: int = DEF_BLOCK, interpret: bool = False):
+               block: int = DEF_BLOCK, interpret: bool = False,
+               fused: bool = True):
     """Pallas counterpart of the XLA backend's eval (monopole M2P + P2P).
 
     Quadrupole M2P is not yet ported to Pallas; callers requesting
     multipole_order=2 are routed to the XLA backend by dispatch."""
     if m2p_quad is not None:
         raise NotImplementedError("pallas backend is monopole-only")
+    if fused:
+        return eval_tiles_fused(tgt_pos, tgt_idx, m2p_pos, m2p_mass,
+                                p2p_pos, p2p_mass, p2p_idx, eps, G,
+                                m2p_cnt=m2p_cnt, p2p_cnt=p2p_cnt,
+                                block=block, interpret=interpret)
     dtype = tgt_pos.dtype
     am, pm = _pairwise(tgt_pos, tgt_idx, m2p_pos, m2p_mass,
                        jnp.full(m2p_mass.shape, -1, jnp.int32), eps,

@@ -37,13 +37,15 @@ def make_case(rng, C=3, T=32, Sm=96, Sp=64, n=1000):
             p_cnt)
 
 
+@pytest.mark.parametrize("fused", [True, False])
 @pytest.mark.parametrize("eps", [0.0, 0.05])
-def test_pallas_matches_xla(eps, rng):
+def test_pallas_matches_xla(eps, fused, rng):
     (tgt_pos, tgt_idx, m_pos, m_mass, m_cnt, p_pos, p_mass, p_idx,
      p_cnt) = make_case(rng)
     acc_p, pot_p = pk.eval_tiles(
         tgt_pos, tgt_idx, m_pos, m_mass, None, p_pos, p_mass, p_idx,
-        eps, 1.0, m2p_cnt=m_cnt, p2p_cnt=p_cnt, block=32, interpret=True)
+        eps, 1.0, m2p_cnt=m_cnt, p2p_cnt=p_cnt, block=32, interpret=True,
+        fused=fused)
     am, pm = xk.eval_m2p(tgt_pos, m_pos, m_mass, eps, 1.0)
     ap, pp = xk.eval_p2p(tgt_pos, tgt_idx, p_pos, p_mass, p_idx, eps, 1.0)
     np.testing.assert_allclose(np.asarray(acc_p), np.asarray(am + ap),
