@@ -55,8 +55,10 @@ def main():
     )
 
     build_jit = jax.jit(build.build_tree, static_argnames=("cfg",))
-    query_jit = jax.jit(partial(engine.acc_pot_u, with_stats=True),
-                        static_argnames=("cfg",))
+
+    def query_jit(td, cfg, th, ep, g):
+        # host-sliced driver (watchdog-safe dispatches)
+        return engine.acc_pot_u_host(td, cfg, th, ep, g)
 
     def force(x):
         np.asarray(jax.tree_util.tree_leaves(x)[0])

@@ -143,3 +143,92 @@ def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0,
     if with_stats:
         return acc_u, pot_u, ovf4, jnp.max(mx, axis=0)
     return acc_u, pot_u, ovf4
+
+
+# --------------------------------------------------------------------------
+# Host-sliced query driver.
+#
+# The TPU runtime kills executables that run longer than its hang watchdog
+# (~60 s observed on this platform: a 165-chunk lax.map crashed the worker
+# while 4 chunks ran fine). For large N the chunk loop is therefore driven
+# from the host in bounded slices: one jitted gather of the tile tables,
+# repeated calls of a K-chunk slice executable at different offsets, and a
+# final jitted assembly. Dispatch overhead (~26 ms) is negligible against
+# multi-second slices.
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _tiles_jit(td, cfg):
+    return _gather_tiles(td, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "K"))
+def _slice_query_jit(td, cfg, theta, eps, G, tiles, start, K):
+    tiles_pos, tiles_idx, box_lo, box_hi = tiles
+    dtype = td.pos.dtype
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, start, K, axis=0)
+
+    def chunk_fn(args):
+        tpos, tidx, blo, bhi = args
+        return _eval_chunk(td, cfg, theta, eps, G, dtype, tpos, tidx,
+                           blo, bhi)
+
+    acc, pot, ovf, mx = jax.lax.map(
+        chunk_fn, (sl(tiles_pos), sl(tiles_idx), sl(box_lo), sl(box_hi)))
+    return acc, pot, jnp.any(ovf, axis=0), jnp.max(mx, axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _assemble_jit(td, cfg, acc_tiles, pot_tiles):
+    """Map per-tile results (chunk-stacked) back to Morton particle order
+    via the monotone tile-begin binary search."""
+    n, ndim = td.pos.shape
+    T = cfg.ncrit
+    acc_flat = acc_tiles.reshape(-1, T, ndim)
+    pot_flat = pot_tiles.reshape(-1, T)
+    TCp = acc_flat.shape[0]
+    tb_padded = jnp.pad(td.tile_begin, (0, max(0, TCp - td.tile_begin.shape[0])),
+                        constant_values=n)
+    p = jnp.arange(n, dtype=I32)
+    t_of_p = su.searchsorted_1d(
+        jnp.where(jnp.arange(TCp, dtype=I32) < td.n_tiles,
+                  tb_padded[:TCp], n), p + 1) - 1
+    t_of_p = jnp.clip(t_of_p, 0, TCp - 1)
+    off = p - tb_padded[jnp.clip(t_of_p, 0, td.tile_begin.shape[0] - 1)]
+    off = jnp.clip(off, 0, T - 1)
+    return acc_flat[t_of_p, off], pot_flat[t_of_p, off]
+
+
+def acc_pot_u_host(td, cfg: TreeConfig, theta, eps, G=1.0,
+                   slice_chunks: int = 32):
+    """Host-driven query: like acc_pot_u(with_stats=True) but each device
+    dispatch covers at most `slice_chunks` tile chunks (watchdog-safe).
+    Returns (acc, pot, ovf[4], maxima[3])."""
+    import numpy as np
+    dt = td.pos.dtype
+    theta = jnp.asarray(theta, dt)
+    eps = jnp.asarray(eps, dt)
+    G = jnp.asarray(G, dt)
+    tiles = _tiles_jit(td, cfg)
+    n_chunks = tiles[0].shape[0]
+    K = min(slice_chunks, n_chunks)
+    accs, pots = [], []
+    ovf = jnp.zeros(4, bool)
+    mx = jnp.zeros(3, I32)
+    for s in range(0, n_chunks, K):
+        start = min(s, n_chunks - K)  # final slice overlaps; results align
+        a, p, o, m = _slice_query_jit(td, cfg, theta, eps, G, tiles,
+                                      start, K)
+        if start < s:  # trim the overlap of the final slice
+            keep = n_chunks - s
+            a, p = a[-keep:], p[-keep:]
+        accs.append(a)
+        pots.append(p)
+        ovf = ovf | o
+        mx = jnp.maximum(mx, m)
+    acc_tiles = jnp.concatenate(accs, axis=0)
+    pot_tiles = jnp.concatenate(pots, axis=0)
+    acc_u, pot_u = _assemble_jit(td, cfg, acc_tiles, pot_tiles)
+    return acc_u, pot_u, ovf, mx

@@ -38,9 +38,10 @@ def _build_jit(pos, mass, cfg, box_size):
     return _build.build_tree(pos, mass, cfg, box_size=box_size)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _query_jit(td, cfg, theta, eps, G):
-    return _engine.acc_pot_u(td, cfg, theta, eps, G)
+def _query_host(td, cfg, theta, eps, G):
+    # Host-sliced driver: bounded per-dispatch runtime (TPU watchdog kills
+    # executables past ~60 s) with identical results.
+    return _engine.acc_pot_u_host(td, cfg, theta, eps, G)
 
 
 def _stack_coords(coords, x_coords, y_coords, z_coords, ndim):
@@ -126,11 +127,12 @@ class Tree:
         dt = cfg.jdtype
         for _ in range(self._max_retries):
             with phase_timer("traverse+eval"):
-                acc, pot, ovf = _query_jit(
+                acc, pot, ovf, mx = _query_host(
                     self._td, cfg, jnp.asarray(theta, dt),
                     jnp.asarray(eps, dt), jnp.asarray(G, dt))
             flags = np.asarray(ovf)
             if not flags.any():
+                self._last_stats = np.asarray(mx)
                 return acc, pot
             # Grow every overflowed capacity (never silently truncate).
             updates = {f: 2 * getattr(cfg, f)
@@ -139,6 +141,25 @@ class Tree:
             self._cfg = cfg
         raise RuntimeError(
             f"interaction-list overflow persisted after retries: {flags}")
+
+    def tune_caps(self, slack: float = 1.25, quantum: int = 512):
+        """Shrink interaction-list capacities to the maxima measured by
+        the most recent query (adaptive-static tuning; the next query
+        recompiles once with snug caps — padding waste is the main TPU
+        performance cost, SURVEY.md §8)."""
+        if getattr(self, "_last_stats", None) is None:
+            raise RuntimeError("run a query first")
+        m2p_max, p2p_max, f_max = (int(x) for x in self._last_stats)
+
+        def fit(v, q):
+            return max(q, -(-int(v * slack) // q) * q)
+
+        self._cfg = self._cfg.with_(
+            m2p_cap=fit(m2p_max, quantum),
+            p2p_src_cap=fit(p2p_max, 2 * quantum),
+            p2p_leaf_cap=max(256, fit(p2p_max, 2 * quantum) // 4),
+            frontier_cap=fit(f_max, 256))
+        return self._cfg
 
     def accs_pots_u(self, theta, eps=0.0, G=1.0):
         """Accelerations and potentials, internal Morton ("unordered")

@@ -130,6 +130,16 @@ def test_G_scaling(cloud):
     np.testing.assert_allclose(a2, 3 * a1, rtol=1e-5, atol=1e-6)
 
 
+def test_tune_caps(cloud):
+    pos, mass = cloud
+    t = octree(coords=pos, masses=mass, **CFG)
+    a1 = np.asarray(t.accs_o(theta=0.6))
+    cfg2 = t.tune_caps()
+    assert cfg2.m2p_cap <= 4096 and cfg2.p2p_src_cap <= 8192
+    a2 = np.asarray(t.accs_o(theta=0.6))  # recompiles with snug caps
+    np.testing.assert_allclose(a2, a1, atol=1e-6)
+
+
 def test_repr(cloud):
     pos, mass = cloud
     t = octree(coords=pos, masses=mass, **CFG)
