@@ -66,6 +66,8 @@ class TreeData(NamedTuple):
     node_level: jnp.ndarray        # [M] int32
     node_delta: jnp.ndarray        # [M] dist(COM, cell geometric center)
     node_quad: jnp.ndarray         # [M, Q] quadrupole moments about COM
+    node_center: jnp.ndarray       # [M, D] geometric cell center
+    node_parent: jnp.ndarray       # [M] int32 parent slot (root -> 0)
     n_nodes: jnp.ndarray           # [] int32 total nodes used
     overflow: jnp.ndarray          # [] bool node or tile capacity exceeded
     box_size: jnp.ndarray          # [] dtype
@@ -265,7 +267,7 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
     else:
         node_quad = jnp.zeros((M, qdim), dtype)
 
-    # ---- 7. bh_geom delta: |COM - geometric cell center| --------------
+    # ---- 7. cell centers, bh_geom delta, parents ----------------------
     head_cells = cells_s[jnp.clip(node_begin, 0, n - 1)]
     centers = particles.cell_center(head_cells, box_size, depth,
                                     node_level)
@@ -273,6 +275,20 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
     node_delta = jnp.where(
         node_valid, jnp.sqrt(jnp.sum(dvec * dvec, axis=-1)), 0.0
     ).astype(dtype)
+    node_center = jnp.where(node_valid[:, None], centers, 0.0).astype(dtype)
+
+    # parent slot: the unique internal node whose contiguous child range
+    # [child_begin, child_begin+count) contains the slot (binary search
+    # over child_begin sorted with its slot payload).
+    slots = jnp.arange(M, dtype=I32)
+    cb_eff = jnp.where(node_child_count > 0, node_child_begin, M + 1)
+    cb_sorted, slot_sorted = jax.lax.sort((cb_eff, slots), num_keys=1)
+    ppos = jnp.clip(su.searchsorted_1d(cb_sorted, slots + 1) - 1, 0, M - 1)
+    cand_par = slot_sorted[ppos]
+    par_ok = ((slots >= node_child_begin[cand_par])
+              & (slots < node_child_begin[cand_par]
+                 + node_child_count[cand_par]) & node_valid)
+    node_parent = jnp.where(par_ok, cand_par, 0)
 
     # ---- 8. tile table ------------------------------------------------
     glvl_prev = jnp.concatenate([jnp.zeros(1, I32), glvl[:-1]])
@@ -301,5 +317,6 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
         node_child_count=node_child_count,
         node_is_leaf=node_is_leaf, node_level=node_level,
         node_delta=node_delta, node_quad=node_quad,
+        node_center=node_center, node_parent=node_parent,
         n_nodes=n_nodes, overflow=overflow, box_size=box_size,
         tile_begin=tile_begin, tile_cnt=tile_cnt, n_tiles=n_tiles)

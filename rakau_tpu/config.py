@@ -66,6 +66,7 @@ class TreeConfig:
     tile_chunk: int = 1024
     multipole_order: int = 0
     kernel_backend: str = "auto"  # "auto" | "xla" | "pallas"
+    traversal_mode: str = "shared"  # "shared" | "lists"
 
     def __post_init__(self):
         if self.ndim not in (2, 3):
@@ -86,6 +87,8 @@ class TreeConfig:
             raise ValueError("multipole_order must be 0 (monopole) or 2 (quadrupole)")
         if self.kernel_backend not in ("auto", "xla", "pallas"):
             raise ValueError("kernel_backend must be auto|xla|pallas")
+        if self.traversal_mode not in ("shared", "lists"):
+            raise ValueError("traversal_mode must be shared|lists")
 
     @property
     def jdtype(self):

@@ -16,6 +16,21 @@ def _on_tpu() -> bool:
         return False
 
 
+def eval_shared(cfg: TreeConfig, tgt_pos, tgt_idx, src_pos, src_mass,
+                src_idx, mask, eps, G):
+    """Shared-candidate evaluation (traversal2): sources common to the
+    chunk's tiles, per-tile mask planes."""
+    backend = cfg.kernel_backend
+    if backend == "auto":
+        backend = "pallas" if _on_tpu() else "xla"
+    if backend == "pallas":
+        from . import pallas as pk
+        return pk.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass,
+                              src_idx, mask, eps, G)
+    return xla.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx,
+                           mask, eps, G)
+
+
 def eval_tiles(cfg: TreeConfig, tgt_pos, tgt_idx,
                m2p_pos, m2p_mass, m2p_quad,
                p2p_pos, p2p_mass, p2p_idx, eps, G,

@@ -280,6 +280,130 @@ def eval_tiles_fused(tgt_pos, tgt_idx, m2p_pos, m2p_mass,
     return G * acc, G * pot
 
 
+def _shared_kernel(nblk_ref, eps2_ref, *refs, ndim, block):
+    """Shared-candidate kernel: grid (C,); source planes are common to
+    every tile (constant index map -> fetched once and reused across the
+    whole grid), the per-tile mask plane weights contributions, and a
+    per-(tile, block) activity count lets fully-masked blocks be skipped.
+
+    refs: tgt planes x ndim + tgt_idx   [1,T,1],
+          src planes x ndim + mass + idx [1,1,S]  (shared),
+          mask [1,1,S] f32 per tile,
+          outs: acc planes x ndim + pot [1,T,1].
+    nblk_ref: [C, NB] int32 (1 if block active for this tile)."""
+    c = pl.program_id(0)
+    n_t = ndim + 1
+    tgt_refs = refs[:ndim]
+    ti_ref = refs[ndim]
+    src_refs = refs[n_t:n_t + ndim + 2]
+    mask_ref = refs[n_t + ndim + 2]
+    out_refs = refs[n_t + ndim + 3:]
+    eps2 = eps2_ref[0]
+    T = tgt_refs[0].shape[1]
+    S = src_refs[0].shape[2]
+    nb = S // block
+    tcols = [r[0] for r in tgt_refs]
+    ti = ti_ref[0]
+
+    acc0 = [jnp.zeros((T, 1), jnp.float32) for _ in range(ndim)]
+    pot0 = jnp.zeros((T, 1), jnp.float32)
+
+    def body(j, carry):
+        accs, pot = carry
+
+        def active(args):
+            accs, pot = args
+            off = j * block
+            srows = [src_refs[d][0, :, pl.ds(off, block)]
+                     for d in range(ndim)]
+            m = src_refs[ndim][0, :, pl.ds(off, block)]
+            si = src_refs[ndim + 1][0, :, pl.ds(off, block)]
+            mk = mask_ref[0, :, pl.ds(off, block)]
+            dxs = []
+            r2 = None
+            for d in range(ndim):
+                dx = srows[d] - tcols[d]
+                dxs.append(dx)
+                r2 = dx * dx if r2 is None else r2 + dx * dx
+            r2 = r2 + eps2
+            inv_r = jax.lax.rsqrt(r2)
+            dead = (si == ti) | (r2 <= 0.0)
+            inv_r = jnp.where(dead, 0.0, inv_r)
+            w = (m * mk) * inv_r
+            w3 = w * inv_r * inv_r
+            pot = pot - jnp.sum(w, axis=1, keepdims=True)
+            accs = [a + jnp.sum(w3 * dx, axis=1, keepdims=True)
+                    for a, dx in zip(accs, dxs)]
+            return accs, pot
+
+        return jax.lax.cond(nblk_ref[c, j] > 0, active, lambda a: a,
+                            (accs, pot))
+
+    acc, pot = jax.lax.fori_loop(0, nb, body, (acc0, pot0))
+    for d in range(ndim):
+        out_refs[d][0] = acc[d]
+    out_refs[ndim][0] = pot
+
+
+def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
+                eps, G, block: int = DEF_BLOCK, interpret: bool = False):
+    """Pallas shared-candidate evaluation (see _shared_kernel)."""
+    C, T, D = tgt_pos.shape
+    S0 = src_pos.shape[0]
+    block = min(block, S0)
+    nb = -(-S0 // block)
+    pad = nb * block - S0
+    S = nb * block
+    if pad:
+        src_pos = jnp.pad(src_pos, ((0, pad), (0, 0)),
+                          constant_values=1e30)
+        src_mass = jnp.pad(src_mass, (0, pad))
+        src_idx = jnp.pad(src_idx, (0, pad), constant_values=-1)
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    maskf = mask.astype(jnp.float32)
+    blk_active = (maskf.reshape(C, nb, block).sum(axis=2) > 0).astype(
+        jnp.int32)
+    eps2 = jnp.asarray([jnp.asarray(eps, jnp.float32) ** 2], jnp.float32)
+
+    tgt_planes = [tgt_pos[:, :, d:d + 1] for d in range(D)]
+    tgt_planes.append(tgt_idx[:, :, None])
+    src_planes = [jnp.broadcast_to(src_pos[:, d], (1, 1, S))
+                  for d in range(D)]
+    src_planes.append(src_mass.reshape(1, 1, S))
+    src_planes.append(src_idx.reshape(1, 1, S))
+    mask3 = maskf[:, None, :]
+
+    def tspec():
+        return pl.BlockSpec((1, T, 1), lambda c, nbr, e: (c, 0, 0))
+
+    def shared_spec():
+        return pl.BlockSpec((1, 1, S), lambda c, nbr, e: (0, 0, 0))
+
+    def mspec():
+        return pl.BlockSpec((1, 1, S), lambda c, nbr, e: (c, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(C,),
+        in_specs=([tspec() for _ in tgt_planes]
+                  + [shared_spec() for _ in src_planes]
+                  + [mspec()]),
+        out_specs=[tspec() for _ in range(D + 1)],
+    )
+    kernel = functools.partial(_shared_kernel, ndim=D, block=block)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((C, T, 1), jnp.float32)
+                   for _ in range(D + 1)],
+        interpret=interpret,
+    )(blk_active, eps2, *tgt_planes, *src_planes, mask3)
+    acc = jnp.concatenate(outs[:D], axis=2)
+    pot = outs[D][:, :, 0]
+    G = jnp.asarray(G, tgt_pos.dtype)
+    return G * acc, G * pot
+
+
 def eval_tiles(tgt_pos, tgt_idx, m2p_pos, m2p_mass, m2p_quad,
                p2p_pos, p2p_mass, p2p_idx, eps, G,
                m2p_cnt=None, p2p_cnt=None,

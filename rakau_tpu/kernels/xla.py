@@ -122,6 +122,50 @@ def eval_m2p(tgt_pos, src_pos, src_mass, eps, G, src_quad=None,
     return G * acc, G * pot
 
 
+def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
+                eps, G, block: int = 1024):
+    """Shared-candidate evaluation: sources [S, ...] common to all C
+    tiles, per-tile contribution mask [C, S] (traversal2). Direct
+    per-component differences throughout (the mask mixes near and far
+    sources, so the near-field-safe path is used for all)."""
+    C, T, D = tgt_pos.shape
+    S = src_pos.shape[0]
+    dtype = tgt_pos.dtype
+    eps2 = jnp.asarray(eps, dtype) ** 2
+
+    nblk = max(1, -(-S // block))
+    pad = nblk * block - S
+    sp = jnp.pad(src_pos, ((0, pad), (0, 0)), constant_values=1e30)
+    sm = jnp.pad(src_mass, (0, pad))
+    si = jnp.pad(src_idx, (0, pad), constant_values=-1)
+    mk = jnp.pad(mask.astype(dtype), ((0, 0), (0, pad)))
+    sp = jnp.moveaxis(sp.reshape(nblk, block, D), 0, 0)
+    sm = sm.reshape(nblk, block)
+    si = si.reshape(nblk, block)
+    mk = jnp.moveaxis(mk.reshape(C, nblk, block), 1, 0)
+
+    def body(carry, blk):
+        acc, pot = carry
+        s, m, idx, mkb = blk                 # [B,D],[B],[B],[C,B]
+        dds = [s[None, None, :, d] - tgt_pos[:, :, None, d]
+               for d in range(D)]
+        r2 = eps2 + sum(dd * dd for dd in dds)
+        inv_r = jax.lax.rsqrt(r2)
+        excl = idx[None, None, :] == tgt_idx[:, :, None]
+        inv_r = jnp.where(excl | (r2 <= 0), 0.0, inv_r)
+        w = (m[None, None, :] * mkb[:, None, :]) * inv_r
+        w3 = w * inv_r * inv_r
+        pot = pot - jnp.sum(w, axis=-1)
+        acc = acc + jnp.stack(
+            [jnp.sum(w3 * dd, axis=-1) for dd in dds], axis=-1)
+        return (acc, pot), None
+
+    init = (tgt_pos * 0, tgt_pos[..., 0] * 0)
+    (acc, pot), _ = jax.lax.scan(body, init, (sp, sm, si, mk))
+    G = jnp.asarray(G, dtype)
+    return G * acc, G * pot
+
+
 def _quad_pairs(ndim: int):
     pairs = []
     for a in range(ndim):

@@ -43,7 +43,11 @@ class QueryStats:
 
 def collect_query_stats(td: TreeData, cfg: TreeConfig, theta,
                         max_chunks: int = 16) -> QueryStats:
-    """Run the traversal (only) and report list occupancy statistics."""
+    """Run the per-tile list traversal (only) and report list occupancy
+    statistics. Always uses traversal_mode='lists' — per-tile list sizes
+    are the meaningful padding-waste diagnostic; the shared-candidate
+    mode auto-tunes from its own query maxima (engine with_stats)."""
+    cfg = cfg.with_(traversal_mode="lists")
     tiles_pos, tiles_idx, blo, bhi = engine._gather_tiles(td, cfg)
     nch = tiles_pos.shape[0]
     f = jax.jit(traversal.build_interaction_lists,

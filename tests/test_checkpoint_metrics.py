@@ -44,8 +44,9 @@ def test_query_stats_and_fitted_caps():
     caps = metrics.fitted_caps(st)
     assert caps["m2p_cap"] >= st.m2p_max
     assert caps["p2p_src_cap"] >= st.p2p_max
-    # fitted caps shouldn't overflow: rerun traversal with them
-    cfg2 = cfg.with_(**caps)
+    # fitted caps shouldn't overflow: rerun traversal with them (caps
+    # from list statistics apply to the list traversal mode)
+    cfg2 = cfg.with_(traversal_mode="lists", **caps)
     td2 = build.build_tree(pos, mass, cfg2)
     from rakau_tpu import engine
     import jax.numpy as jnp

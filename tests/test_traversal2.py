@@ -1,0 +1,87 @@
+"""Shared-candidate traversal (traversal2) vs the list traversal and the
+direct-sum oracle."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rakau_tpu import build, engine, particles, traversal2
+from rakau_tpu.config import TreeConfig
+from rakau_tpu.direct import direct_acc_pot_np
+from .helpers import rel_vec_err, rms
+
+
+def run(pos, mass, mode, theta, **kw):
+    cfg = TreeConfig(max_depth=10, max_leaf_n=16, ncrit=64, tile_chunk=8,
+                     p2p_leaf_cap=2048, traversal_mode=mode, **kw)
+    td = build.build_tree(pos, mass, cfg)
+    acc, pot, ovf = engine.acc_pot_u(td, cfg, theta, 0.0)
+    assert not bool(np.asarray(ovf).any())
+    inv = np.asarray(td.inv_perm)
+    return np.asarray(acc)[inv], np.asarray(pot)[inv]
+
+
+@pytest.mark.parametrize("dist", ["uniform", "plummer"])
+@pytest.mark.parametrize("theta", [0.3, 0.75])
+def test_shared_accuracy(dist, theta):
+    n = 3000
+    key = jax.random.PRNGKey(3)
+    gen = particles.uniform_cube if dist == "uniform" else particles.plummer
+    pos, mass = gen(key, n)
+    acc, pot = run(pos, mass, "shared", theta)
+    acc_o, pot_o = direct_acc_pot_np(np.asarray(pos), np.asarray(mass))
+    # Box-distance MAC is conservative: error must be <= the COM-distance
+    # envelope for the same theta.
+    env = {0.3: 2e-3, 0.75: 2e-2}[theta]
+    assert rms(rel_vec_err(acc, acc_o)) < env
+    assert rms((pot - pot_o) / pot_o) < env
+
+
+def test_shared_no_double_count_mass():
+    # Sum over each tile's mask of source mass must equal total mass
+    # minus the tile's own... every particle must be accounted exactly
+    # once per target: check via potential of a uniform-mass far cluster
+    # against direct sum at tight theta (exactness).
+    n = 512
+    pos, mass = particles.plummer(jax.random.PRNGKey(5), n)
+    acc, pot = run(pos, mass, "shared", theta=1e-3, p2p_src_cap=2048,
+                   m2p_cap=2048)
+    acc_o, pot_o = direct_acc_pot_np(np.asarray(pos), np.asarray(mass))
+    assert rel_vec_err(acc, acc_o).max() < 1e-4
+    np.testing.assert_allclose(pot, pot_o, rtol=1e-4)
+
+
+def test_shared_2d():
+    n = 1024
+    pos, mass = particles.uniform_cube(jax.random.PRNGKey(7), n, ndim=2)
+    a1, p1 = run(pos, mass, "shared", theta=0.5, ndim=2)
+    acc_o, pot_o = direct_acc_pot_np(np.asarray(pos), np.asarray(mass))
+    assert rms(rel_vec_err(a1, acc_o)) < 2e-2
+
+
+def test_mask_mass_partition():
+    """Partition-of-unity check: for every tile, the mask-weighted source
+    masses must sum to exactly the total mass — each particle is seen by
+    each tile exactly once (as itself via P2P or inside exactly one
+    accepted ancestor via M2P)."""
+    n = 700
+    pos, mass = particles.plummer(jax.random.PRNGKey(9), n)
+    cfg = TreeConfig(max_depth=8, max_leaf_n=16, ncrit=64, tile_chunk=8,
+                     p2p_leaf_cap=2048)
+    td = build.build_tree(pos, mass, cfg)
+    tiles_pos, tiles_idx, blo, bhi = engine._gather_tiles(td, cfg)
+    total = float(np.asarray(mass, np.float64).sum())
+    for chunk in range(blo.shape[0]):
+        th = jnp.asarray(0.6, jnp.float32)
+        src = traversal2.build_shared_sources(td, cfg, th, blo[chunk],
+                                              bhi[chunk])
+        assert not bool(np.asarray(src.overflow).any())
+        mask = np.asarray(traversal2.tile_masks(cfg, src, th, blo[chunk],
+                                                bhi[chunk]))
+        sm = np.asarray(src.mass, np.float64)
+        tc = np.asarray(td.tile_cnt)
+        covered = (mask * sm[None, :]).sum(axis=1)
+        for c in range(mask.shape[0]):
+            t_global = chunk * mask.shape[0] + c
+            if t_global < int(td.n_tiles) and tc[t_global] > 0:
+                np.testing.assert_allclose(covered[c], total, rtol=1e-5)
