@@ -33,10 +33,14 @@ def main():
     combos = os.environ.get("COMBOS", "256:16,256:32,512:16,512:8")
     for combo in combos.split(","):
         ncrit, chunk = (int(x) for x in combo.split(":"))
-        cfg = TreeConfig(max_depth=14, max_leaf_n=64, ncrit=ncrit,
-                         tile_chunk=chunk, m2p_cap=8192,
+        cfg = TreeConfig(max_depth=14,
+                         max_leaf_n=int(os.environ.get("LEAF", 64)),
+                         ncrit=ncrit,
+                         tile_chunk=chunk,
+                         m2p_cap=int(os.environ.get("MCAP", 16384)),
                          p2p_src_cap=int(os.environ.get("PCAP", 32768)),
-                         frontier_cap=2048,
+                         p2p_leaf_cap=int(os.environ.get("LCAP", 2048)),
+                         frontier_cap=int(os.environ.get("FCAP", 2048)),
                          kernel_backend=os.environ.get("KB", "pallas"))
         try:
             bj = jax.jit(build.build_tree, static_argnames=("cfg",))

@@ -97,11 +97,11 @@ def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
     if cfg.traversal_mode == "shared" and cfg.multipole_order < 2:
         from . import traversal2
         src = traversal2.build_shared_sources(td, cfg, theta, blo, bhi)
-        mask = traversal2.tile_masks(cfg, src, theta, blo, bhi)
         acc, pot = dispatch.eval_shared(
-            cfg, tpos, tidx, src.pos, src.mass, src.idx, mask, eps, G)
-        ovf3 = src.overflow          # (frontier, union, p2p)
-        ovf4 = jnp.stack([ovf3[1], jnp.asarray(False), ovf3[2], ovf3[0]])
+            cfg, tpos, tidx, src.pos, src.mass, src.idx, src.mask, eps, G)
+        ovf3 = src.overflow          # (union, p2p, frontier)
+        false_ = ovf3[0] & False
+        ovf4 = jnp.stack([ovf3[0], false_, ovf3[1], ovf3[2]])
         return acc, pot, ovf4, src.maxima
     il = traversal.build_interaction_lists(td, cfg, theta, blo, bhi)
     m_pos, m_mass, m_quad, p_pos, p_mass, p_idx = _gather_sources(

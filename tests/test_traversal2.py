@@ -76,8 +76,7 @@ def test_mask_mass_partition():
         src = traversal2.build_shared_sources(td, cfg, th, blo[chunk],
                                               bhi[chunk])
         assert not bool(np.asarray(src.overflow).any())
-        mask = np.asarray(traversal2.tile_masks(cfg, src, th, blo[chunk],
-                                                bhi[chunk]))
+        mask = np.asarray(src.mask)
         sm = np.asarray(src.mass, np.float64)
         tc = np.asarray(td.tile_cnt)
         covered = (mask * sm[None, :]).sum(axis=1)
