@@ -59,7 +59,7 @@ class TreeConfig:
     mac: str = MAC_BH
     node_cap: Optional[int] = None
     tile_cap: Optional[int] = None
-    frontier_cap: int = 2048
+    frontier_cap: int = 1024
     m2p_cap: int = 4096
     p2p_leaf_cap: int = 512
     p2p_src_cap: int = 8192
@@ -114,7 +114,10 @@ class TreeConfig:
         data-dependent, typically ~1.3x N/ncrit)."""
         if self.tile_cap is not None:
             return self.tile_cap
-        return 8 * (-(-n_particles // self.ncrit)) + 64
+        # actual count is ~1.3x N/ncrit; every padding tile costs a full
+        # (walk + kernel) pass in a chunk, so keep this snug and rely on
+        # the overflow-retry to grow it for pathological distributions.
+        return 2 * (-(-n_particles // self.ncrit)) + 64
 
     def with_(self, **kw) -> "TreeConfig":
         return dataclasses.replace(self, **kw)

@@ -90,19 +90,19 @@ def _gather_sources(td: TreeData, cfg: TreeConfig, il, dtype):
 
 
 def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
-                tpos, tidx, blo, bhi):
+                tpos, tidx, blo, bhi, tables=None):
     """Traversal + gather + kernel for one chunk of tiles (shared by the
     single-chip and sharded paths)."""
     from .kernels import dispatch  # late import to avoid cycles
     if cfg.traversal_mode == "shared" and cfg.multipole_order < 2:
         from . import traversal2
-        src = traversal2.build_shared_sources(td, cfg, theta, blo, bhi)
+        src = traversal2.build_shared_sources(td, cfg, theta, blo, bhi,
+                                              tables=tables)
         acc, pot = dispatch.eval_shared(
             cfg, tpos, tidx, src.pos, src.mass, src.idx, src.mask, eps, G)
-        ovf3 = src.overflow          # (union, p2p, frontier)
-        false_ = ovf3[0] & False
-        ovf4 = jnp.stack([ovf3[0], false_, ovf3[1], ovf3[2]])
-        return acc, pot, ovf4, src.maxima
+        # already aligned with (m2p_cap, p2p_leaf_cap, p2p_src_cap,
+        # frontier_cap)
+        return acc, pot, src.overflow, src.maxima
     il = traversal.build_interaction_lists(td, cfg, theta, blo, bhi)
     m_pos, m_mass, m_quad, p_pos, p_mass, p_idx = _gather_sources(
         td, cfg, il, dtype)
@@ -122,11 +122,13 @@ def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0,
     n, ndim = td.pos.shape
     dtype = td.pos.dtype
     tiles_pos, tiles_idx, box_lo, box_hi = _gather_tiles(td, cfg)
+    tables = _make_tables(td, cfg)
 
     def chunk_fn(args):
         tpos, tidx, blo, bhi = args
         acc, pot, ovf, mx = _eval_chunk(td, cfg, theta, eps, G, dtype,
-                                        tpos, tidx, blo, bhi)
+                                        tpos, tidx, blo, bhi,
+                                        tables=tables)
         return acc, pot, tidx, ovf, mx
 
     acc, pot, tidx, ovf, mx = jax.lax.map(
@@ -166,13 +168,20 @@ def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0,
 # multi-second slices.
 # --------------------------------------------------------------------------
 
+def _make_tables(td, cfg):
+    if cfg.traversal_mode == "shared" and cfg.multipole_order < 2:
+        from . import traversal2
+        return traversal2.make_tables(td, cfg)
+    return None
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _tiles_jit(td, cfg):
-    return _gather_tiles(td, cfg)
+    return _gather_tiles(td, cfg), _make_tables(td, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg", "K"))
-def _slice_query_jit(td, cfg, theta, eps, G, tiles, start, K):
+def _slice_query_jit(td, cfg, theta, eps, G, tiles, tables, start, K):
     tiles_pos, tiles_idx, box_lo, box_hi = tiles
     dtype = td.pos.dtype
 
@@ -182,7 +191,7 @@ def _slice_query_jit(td, cfg, theta, eps, G, tiles, start, K):
     def chunk_fn(args):
         tpos, tidx, blo, bhi = args
         return _eval_chunk(td, cfg, theta, eps, G, dtype, tpos, tidx,
-                           blo, bhi)
+                           blo, bhi, tables=tables)
 
     acc, pot, ovf, mx = jax.lax.map(
         chunk_fn, (sl(tiles_pos), sl(tiles_idx), sl(box_lo), sl(box_hi)))
@@ -220,18 +229,23 @@ def acc_pot_u_host(td, cfg: TreeConfig, theta, eps, G=1.0,
     theta = jnp.asarray(theta, dt)
     eps = jnp.asarray(eps, dt)
     G = jnp.asarray(G, dt)
-    tiles = _tiles_jit(td, cfg)
+    tiles, tables = _tiles_jit(td, cfg)
     n_chunks = tiles[0].shape[0]
-    K = min(slice_chunks, n_chunks)
+    CH = tiles[0].shape[1]
+    # Only slices containing real tiles need processing (tile capacity
+    # includes padding; each padding chunk would cost a full walk+eval).
+    n_live = max(1, -(-int(td.n_tiles) // CH))
+    n_live = min(n_live, n_chunks)
+    K = min(slice_chunks, n_live)
     accs, pots = [], []
     ovf = jnp.zeros(4, bool)
     mx = jnp.zeros(3, I32)
-    for s in range(0, n_chunks, K):
-        start = min(s, n_chunks - K)  # final slice overlaps; results align
+    for s in range(0, n_live, K):
+        start = min(s, n_live - K)  # final slice overlaps; results align
         a, p, o, m = _slice_query_jit(td, cfg, theta, eps, G, tiles,
-                                      start, K)
+                                      tables, start, K)
         if start < s:  # trim the overlap of the final slice
-            keep = n_chunks - s
+            keep = n_live - s
             a, p = a[-keep:], p[-keep:]
         accs.append(a)
         pots.append(p)
@@ -239,5 +253,15 @@ def acc_pot_u_host(td, cfg: TreeConfig, theta, eps, G=1.0,
         mx = jnp.maximum(mx, m)
     acc_tiles = jnp.concatenate(accs, axis=0)
     pot_tiles = jnp.concatenate(pots, axis=0)
+    # pad tail (unprocessed padding chunks) so assembly shapes match
+    pad_rows = (n_chunks - n_live) * CH
+    acc_tiles = acc_tiles.reshape(-1, cfg.ncrit, td.pos.shape[1])
+    pot_tiles = pot_tiles.reshape(-1, cfg.ncrit)
+    if pad_rows:
+        acc_tiles = jnp.concatenate(
+            [acc_tiles, jnp.zeros((pad_rows, cfg.ncrit, td.pos.shape[1]),
+                                  dt)], axis=0)
+        pot_tiles = jnp.concatenate(
+            [pot_tiles, jnp.zeros((pad_rows, cfg.ncrit), dt)], axis=0)
     acc_u, pot_u = _assemble_jit(td, cfg, acc_tiles, pot_tiles)
     return acc_u, pot_u, ovf, mx

@@ -280,18 +280,19 @@ def eval_tiles_fused(tgt_pos, tgt_idx, m2p_pos, m2p_mass,
     return G * acc, G * pot
 
 
-def _shared_kernel(nblk_ref, eps2_ref, *refs, ndim, block):
-    """Shared-candidate kernel: grid (C,); source planes are common to
-    every tile (constant index map -> fetched once and reused across the
-    whole grid), the per-tile mask plane weights contributions, and a
-    per-(tile, block) activity count lets fully-masked blocks be skipped.
+def _shared_kernel(blk_ref, eps2_ref, *refs, ndim):
+    """Shared-candidate kernel: grid (C, NB). Source-block planes are
+    common to every tile; the per-tile mask block weights contributions;
+    fully-masked (tile, block) pairs skip compute via pl.when. Fat blocks
+    amortize the ~25-60 us Mosaic per-step overhead.
 
     refs: tgt planes x ndim + tgt_idx   [1,T,1],
-          src planes x ndim + mass + idx [1,1,S]  (shared),
-          mask [1,1,S] f32 per tile,
-          outs: acc planes x ndim + pot [1,T,1].
-    nblk_ref: [C, NB] int32 (1 if block active for this tile)."""
+          src planes x ndim + mass + idx [1,1,B] (shared block),
+          mask [1,1,B] f32 per (tile, block),
+          outs: acc planes x ndim + pot [1,T,1] (accumulated over NB).
+    blk_ref: [C, NB] int32 (nonzero = block active for this tile)."""
     c = pl.program_id(0)
+    j = pl.program_id(1)
     n_t = ndim + 1
     tgt_refs = refs[:ndim]
     ti_ref = refs[ndim]
@@ -299,55 +300,43 @@ def _shared_kernel(nblk_ref, eps2_ref, *refs, ndim, block):
     mask_ref = refs[n_t + ndim + 2]
     out_refs = refs[n_t + ndim + 3:]
     eps2 = eps2_ref[0]
-    T = tgt_refs[0].shape[1]
-    S = src_refs[0].shape[2]
-    nb = S // block
-    tcols = [r[0] for r in tgt_refs]
-    ti = ti_ref[0]
 
-    acc0 = [jnp.zeros((T, 1), jnp.float32) for _ in range(ndim)]
-    pot0 = jnp.zeros((T, 1), jnp.float32)
+    @pl.when(j == 0)
+    def _init():
+        for o in out_refs:
+            o[...] = jnp.zeros_like(o)
 
-    def body(j, carry):
-        accs, pot = carry
-
-        def active(args):
-            accs, pot = args
-            off = j * block
-            srows = [src_refs[d][0, :, pl.ds(off, block)]
-                     for d in range(ndim)]
-            m = src_refs[ndim][0, :, pl.ds(off, block)]
-            si = src_refs[ndim + 1][0, :, pl.ds(off, block)]
-            mk = mask_ref[0, :, pl.ds(off, block)]
-            dxs = []
-            r2 = None
-            for d in range(ndim):
-                dx = srows[d] - tcols[d]
-                dxs.append(dx)
-                r2 = dx * dx if r2 is None else r2 + dx * dx
-            r2 = r2 + eps2
-            inv_r = jax.lax.rsqrt(r2)
-            dead = (si == ti) | (r2 <= 0.0)
-            inv_r = jnp.where(dead, 0.0, inv_r)
-            w = (m * mk) * inv_r
-            w3 = w * inv_r * inv_r
-            pot = pot - jnp.sum(w, axis=1, keepdims=True)
-            accs = [a + jnp.sum(w3 * dx, axis=1, keepdims=True)
-                    for a, dx in zip(accs, dxs)]
-            return accs, pot
-
-        return jax.lax.cond(nblk_ref[c, j] > 0, active, lambda a: a,
-                            (accs, pot))
-
-    acc, pot = jax.lax.fori_loop(0, nb, body, (acc0, pot0))
-    for d in range(ndim):
-        out_refs[d][0] = acc[d]
-    out_refs[ndim][0] = pot
+    @pl.when(blk_ref[c, j] > 0)
+    def _body():
+        tcols = [r[0] for r in tgt_refs]
+        ti = ti_ref[0]
+        srows = [src_refs[d][0] for d in range(ndim)]   # (1, B)
+        m = src_refs[ndim][0]
+        si = src_refs[ndim + 1][0]
+        mk = mask_ref[0]
+        dxs = []
+        r2 = None
+        for d in range(ndim):
+            dx = srows[d] - tcols[d]
+            dxs.append(dx)
+            r2 = dx * dx if r2 is None else r2 + dx * dx
+        r2 = r2 + eps2
+        inv_r = jax.lax.rsqrt(r2)
+        dead = (si == ti) | (r2 <= 0.0)
+        inv_r = jnp.where(dead, 0.0, inv_r)
+        w = (m * mk) * inv_r
+        w3 = w * inv_r * inv_r
+        out_refs[ndim][0] += -jnp.sum(w, axis=1, keepdims=True)
+        for d in range(ndim):
+            out_refs[d][0] += jnp.sum(w3 * dxs[d], axis=1, keepdims=True)
 
 
 def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
-                eps, G, block: int = DEF_BLOCK, interpret: bool = False):
+                eps, G, block: int = None, interpret: bool = False):
     """Pallas shared-candidate evaluation (see _shared_kernel)."""
+    import os
+    if block is None:
+        block = int(os.environ.get("RAKAU_PALLAS_BLOCK", 1024))
     C, T, D = tgt_pos.shape
     S0 = src_pos.shape[0]
     block = min(block, S0)
@@ -367,30 +356,29 @@ def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
 
     tgt_planes = [tgt_pos[:, :, d:d + 1] for d in range(D)]
     tgt_planes.append(tgt_idx[:, :, None])
-    src_planes = [jnp.broadcast_to(src_pos[:, d], (1, 1, S))
-                  for d in range(D)]
+    src_planes = [src_pos[:, d].reshape(1, 1, S) for d in range(D)]
     src_planes.append(src_mass.reshape(1, 1, S))
     src_planes.append(src_idx.reshape(1, 1, S))
     mask3 = maskf[:, None, :]
 
     def tspec():
-        return pl.BlockSpec((1, T, 1), lambda c, nbr, e: (c, 0, 0))
+        return pl.BlockSpec((1, T, 1), lambda c, j, b, e: (c, 0, 0))
 
     def shared_spec():
-        return pl.BlockSpec((1, 1, S), lambda c, nbr, e: (0, 0, 0))
+        return pl.BlockSpec((1, 1, block), lambda c, j, b, e: (0, 0, j))
 
     def mspec():
-        return pl.BlockSpec((1, 1, S), lambda c, nbr, e: (c, 0, 0))
+        return pl.BlockSpec((1, 1, block), lambda c, j, b, e: (c, 0, j))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(C,),
+        grid=(C, nb),
         in_specs=([tspec() for _ in tgt_planes]
                   + [shared_spec() for _ in src_planes]
                   + [mspec()]),
         out_specs=[tspec() for _ in range(D + 1)],
     )
-    kernel = functools.partial(_shared_kernel, ndim=D, block=block)
+    kernel = functools.partial(_shared_kernel, ndim=D)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -40,7 +40,8 @@ class SharedSources(NamedTuple):
     idx: jnp.ndarray        # [S] int32 Morton particle id; -1 for nodes
     mask: jnp.ndarray       # [C, S] bool: source contributes to tile c
     count: jnp.ndarray      # [] int32 valid entries
-    overflow: jnp.ndarray   # [3] bool (union nodes, p2p expansion, frontier)
+    overflow: jnp.ndarray   # [4] bool (union, leaf-list, p2p expansion, frontier)
+                            # aligned with TreeConfig cap fields
     maxima: jnp.ndarray     # [3] int32 (union nodes, total sources, frontier)
 
 
@@ -50,8 +51,37 @@ def _point_dist2(lo, hi, p):
     return jnp.sum(d * d, axis=-1)
 
 
+class TraversalTables(NamedTuple):
+    """Node fields packed into row-gatherable tables (a row gather costs
+    ~7 ns/ROW on this platform vs ~10 ns/ELEMENT for separate field
+    gathers — packing is a ~7x traversal saving).
+
+    ff [M, 8] f32: com_x..com_z (padded to D), mass, size, thresh_extra
+    (bh_geom delta or 0), leaf flag as float, unused.
+    ii [M, 2] i32: child_begin, child_count."""
+    ff: jnp.ndarray
+    ii: jnp.ndarray
+
+
+def make_tables(td: TreeData, cfg: TreeConfig) -> TraversalTables:
+    dtype = td.pos.dtype
+    M = td.node_level.shape[0]
+    size = td.box_size * jnp.exp2(-td.node_level.astype(dtype))
+    D = td.pos.shape[1]
+    cols = [td.node_com[:, d] for d in range(D)]
+    cols += [jnp.zeros(M, dtype)] * (3 - D)
+    cols += [td.node_mass, size,
+             td.node_delta if cfg.mac == MAC_BH_GEOM
+             else jnp.zeros(M, dtype),
+             td.node_is_leaf.astype(dtype), jnp.zeros(M, dtype)]
+    ff = jnp.stack(cols, axis=1)
+    ii = jnp.stack([td.node_child_begin, td.node_child_count], axis=1)
+    return TraversalTables(ff=ff, ii=ii)
+
+
 def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
-                         box_lo, box_hi) -> SharedSources:
+                         box_lo, box_hi,
+                         tables: TraversalTables = None) -> SharedSources:
     """One chunk's union walk. box_lo/hi: [C, D] tile AABBs. Jittable."""
     C, D = box_lo.shape
     dtype = td.pos.dtype
@@ -59,12 +89,13 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     lo = box_lo[:, None, :]
     hi = box_hi[:, None, :]
     n = td.pos.shape[0]
+    if tables is None:
+        tables = make_tables(td, cfg)
 
     fcap = cfg.frontier_cap
     k8 = 2 ** cfg.ndim
     K = fcap * k8
     R = cfg.max_depth + 1          # rounds (root round r=0 included)
-    node_size = td.box_size * jnp.exp2(-td.node_level.astype(dtype))
 
     vary0 = (box_lo[0, 0] * 0).astype(I32)
 
@@ -74,14 +105,14 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
         frontier activity), each [K, C]."""
         valid = ids >= 0
         ids_c = jnp.where(valid, ids, 0)
-        com = td.node_com[ids_c]
-        size = node_size[ids_c]
-        leaf = td.node_is_leaf[ids_c]
-        mass = td.node_mass[ids_c]
+        row = tables.ff[ids_c]                          # one row gather
+        com = row[:, :D]
+        mass = row[:, 3]
+        size = row[:, 4]
+        extra = row[:, 5]
+        leaf = row[:, 6] > 0.5
         d2 = _point_dist2(lo, hi, com)                  # [C, K]
-        thresh = size * theta_inv
-        if cfg.mac == MAC_BH_GEOM:
-            thresh = thresh + td.node_delta[ids_c]
+        thresh = size * theta_inv + extra
         acc = d2 > (thresh * thresh)[None, :]
         use = par_active_kc.T & valid[None, :]          # [C, K]
         accepted = acc & use & (mass > 0)[None, :]
@@ -118,8 +149,9 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
          ovf_frontier, f_max) = carry
         fvalid = jnp.arange(fcap, dtype=I32) < f_cnt
         fr = jnp.where(fvalid, frontier, 0)
-        cb = td.node_child_begin[fr]
-        cc = td.node_child_count[fr]
+        rowi = tables.ii[fr]                            # one row gather
+        cb = rowi[:, 0]
+        cc = rowi[:, 1]
         kids = (cb[:, None] + jnp.arange(k8, dtype=I32)).reshape(-1)
         kval = ((jnp.arange(k8, dtype=I32)[None, :] < cc[:, None])
                 .reshape(-1) & jnp.repeat(fvalid, k8))
@@ -181,10 +213,14 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     lc = jnp.where(lvalid, td.node_end[lf_ids] - td.node_begin[lf_ids], 0)
     offs = jnp.cumsum(lc) - lc
     total_p = offs[-1] + lc[-1]
-    ovf_p2p = (total_p > pcap) | ovf_leaf
-    cum_lc = jnp.cumsum(lc)
+    ovf_p2p = total_p > pcap
+    # row-of-particle via start marks + cumsum (a pcap-sized searchsorted
+    # here costs ~7 ms/chunk; the scatter is lcap-sized and trivial)
     kq = jnp.arange(pcap, dtype=I32)
-    row = su.searchsorted_1d(cum_lc, kq + 1)
+    marks = jnp.zeros(pcap + 1, I32).at[
+        jnp.where(lc > 0, jnp.minimum(offs, pcap), pcap)].add(1)
+    row = jnp.cumsum(marks[:pcap]) - 1
+    row = jnp.maximum(row, 0)
     rvalid = kq < jnp.minimum(total_p, pcap)
     row_c = jnp.clip(row, 0, lcap - 1)
     pidx = jnp.where(rvalid, lb[row_c] + (kq - offs[row_c]), -1)
@@ -202,5 +238,5 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     return SharedSources(
         pos=pos, mass=mass, idx=idx, mask=mask,
         count=jnp.minimum(ucnt, ucap) + jnp.minimum(total_p, pcap),
-        overflow=jnp.stack([ovf_uni, ovf_p2p, ovf_frontier]),
+        overflow=jnp.stack([ovf_uni, ovf_leaf, ovf_p2p, ovf_frontier]),
         maxima=jnp.stack([ucnt, ucnt + total_p, f_max]))

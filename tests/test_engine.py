@@ -10,6 +10,7 @@ from .helpers import rel_vec_err, rms
 
 def tree_acc_pot(pos, mass, cfg, theta, eps=0.0, box_size=None):
     td = build.build_tree(pos, mass, cfg, box_size=box_size)
+    assert not bool(td.overflow), "tree build capacity overflow in test"
     acc, pot, ovf = engine.acc_pot_u(td, cfg, theta, eps)
     assert not bool(ovf.any()), f"interaction list overflow {np.asarray(ovf)}"
     # back to input order for comparison
