@@ -61,6 +61,41 @@ def total_energy(state: NBodyState, cfg: TreeConfig, theta, eps, G=1.0,
     return ke + pe
 
 
+_build_jit = None
+
+
+def acc_pot_host(pos, mass, cfg: TreeConfig, theta, eps, G=1.0,
+                 box_size=None, slice_chunks: int = 32):
+    """Host-driven build + query for large N (each device dispatch stays
+    under the TPU runtime's hang watchdog; see engine.acc_pot_u_host).
+    Results in input order."""
+    global _build_jit
+    if _build_jit is None:
+        _build_jit = jax.jit(_build.build_tree, static_argnames=("cfg",))
+    td = _build_jit(pos, mass, cfg,
+                    None if box_size is None
+                    else jnp.asarray(box_size, pos.dtype))
+    acc_u, pot_u, ovf, mx = _engine.acc_pot_u_host(
+        td, cfg, theta, eps, G, slice_chunks=slice_chunks)
+    inv = td.inv_perm
+    return acc_u[inv], pot_u[inv], ovf
+
+
+def leapfrog_step_host(state: NBodyState, dt, cfg: TreeConfig, theta,
+                       eps, G=1.0, box_size=None, slice_chunks: int = 32):
+    """KDK leapfrog step with per-step rebuild, host-sliced dispatches
+    (for particle counts where one fused step executable would exceed
+    the TPU watchdog)."""
+    acc0, _, ovf0 = acc_pot_host(state.pos, state.mass, cfg, theta, eps,
+                                 G, box_size, slice_chunks)
+    vel_h = state.vel + 0.5 * dt * acc0
+    pos1 = state.pos + dt * vel_h
+    acc1, _, ovf1 = acc_pot_host(pos1, state.mass, cfg, theta, eps, G,
+                                 box_size, slice_chunks)
+    vel1 = vel_h + 0.5 * dt * acc1
+    return NBodyState(pos1, vel1, state.mass), ovf0 | ovf1
+
+
 def exact_total_energy(state: NBodyState, eps=0.0, G=1.0):
     from . import direct
     _, pot = direct.direct_acc_pot(state.pos, state.mass, eps=eps, G=G)
