@@ -46,12 +46,13 @@ def main():
     pos, mass = particles.plummer(key, n)
     cfg = TreeConfig(
         max_depth=int(os.environ.get("RAKAU_BENCH_DEPTH", 14)),
-        max_leaf_n=int(os.environ.get("RAKAU_BENCH_LEAF", 64)),
-        ncrit=int(os.environ.get("RAKAU_BENCH_NCRIT", 256)),
-        tile_chunk=int(os.environ.get("RAKAU_BENCH_CHUNK", 256)),
+        max_leaf_n=int(os.environ.get("RAKAU_BENCH_LEAF", 32)),
+        ncrit=int(os.environ.get("RAKAU_BENCH_NCRIT", 512)),
+        tile_chunk=int(os.environ.get("RAKAU_BENCH_CHUNK", 8)),
         m2p_cap=int(os.environ.get("RAKAU_BENCH_M2P", 8192)),
         p2p_leaf_cap=int(os.environ.get("RAKAU_BENCH_P2PLEAF", 2048)),
-        p2p_src_cap=int(os.environ.get("RAKAU_BENCH_P2PSRC", 16384)),
+        p2p_src_cap=int(os.environ.get("RAKAU_BENCH_P2PSRC", 65536)),
+        frontier_cap=int(os.environ.get("RAKAU_BENCH_FCAP", 1024)),
     )
 
     build_jit = jax.jit(build.build_tree, static_argnames=("cfg",))
