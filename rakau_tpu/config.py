@@ -63,10 +63,22 @@ class TreeConfig:
     m2p_cap: int = 4096
     p2p_leaf_cap: int = 512
     p2p_src_cap: int = 8192
-    tile_chunk: int = 1024
+    tile_chunk: int = 64
     multipole_order: int = 0
     kernel_backend: str = "auto"  # "auto" | "xla" | "pallas"
     traversal_mode: str = "shared"  # "shared" | "lists"
+    # Far-field handling (shared traversal only): "local" accumulates
+    # MAC-accepted nodes that are far relative to the target tile into a
+    # tile-local Taylor expansion (M2L+L2P, expansion.py) and keeps only
+    # near nodes on the per-particle M2P kernel path; "m2p" evaluates
+    # every accepted node per particle (reference-exact structure).
+    farfield: str = "local"  # "local" | "m2p"
+    local_order: int = 3     # Taylor order of the potential (2 or 3)
+    # Far gate: dist(tile_center, COM) > gamma * r_tile. gamma=4 measured
+    # RMS-neutral vs the exact per-particle M2P path at theta=0.75
+    # (1.99e-3 vs 1.98e-3, 16k Plummer); gamma=2 trades ~1.8x RMS for a
+    # smaller near-field kernel residue.
+    local_gamma: float = 4.0
 
     def __post_init__(self):
         if self.ndim not in (2, 3):
@@ -89,6 +101,12 @@ class TreeConfig:
             raise ValueError("kernel_backend must be auto|xla|pallas")
         if self.traversal_mode not in ("shared", "lists"):
             raise ValueError("traversal_mode must be shared|lists")
+        if self.farfield not in ("local", "m2p"):
+            raise ValueError("farfield must be local|m2p")
+        if self.local_order not in (2, 3):
+            raise ValueError("local_order must be 2 or 3")
+        if self.local_gamma <= 1.0:
+            raise ValueError("local_gamma must be > 1 (rho = 1/gamma < 1)")
 
     @property
     def jdtype(self):

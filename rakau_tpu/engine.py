@@ -95,11 +95,33 @@ def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
     single-chip and sharded paths)."""
     from .kernels import dispatch  # late import to avoid cycles
     if cfg.traversal_mode == "shared" and cfg.multipole_order < 2:
-        from . import traversal2
+        from . import expansion, traversal2
         src = traversal2.build_shared_sources(td, cfg, theta, blo, bhi,
                                               tables=tables)
+        mask = src.mask
+        acc_l = pot_l = None
+        if cfg.farfield == "local":
+            # Far/near gate on the M2P node rows (first m2p_cap entries):
+            # far nodes collapse into per-tile local expansions (M2L+L2P,
+            # expansion.py); near nodes stay on the per-particle kernel
+            # path. Empty/padding tiles have inverted AABBs -> rad2 = inf
+            # -> everything routes near and their L is exactly zero.
+            U = cfg.m2p_cap
+            center = 0.5 * (blo + bhi)
+            rad2 = jnp.sum((0.5 * (bhi - blo)) ** 2, axis=-1)
+            far, near = expansion.far_split(
+                center, rad2, src.pos[:U], src.mass[:U], mask[:, :U],
+                cfg.local_gamma)
+            mask = jnp.concatenate([near, mask[:, U:]], axis=1)
+            L = expansion.m2l(center, src.pos[:U], src.mass[:U], far,
+                              eps, cfg.local_order)
+            acc_l, pot_l = expansion.l2p(L, center, tpos, G,
+                                         cfg.local_order)
         acc, pot = dispatch.eval_shared(
-            cfg, tpos, tidx, src.pos, src.mass, src.idx, src.mask, eps, G)
+            cfg, tpos, tidx, src.pos, src.mass, src.idx, mask, eps, G)
+        if acc_l is not None:
+            acc = acc + acc_l
+            pot = pot + pot_l
         # already aligned with (m2p_cap, p2p_leaf_cap, p2p_src_cap,
         # frontier_cap)
         return acc, pot, src.overflow, src.maxima

@@ -24,9 +24,13 @@ def eval_shared(cfg: TreeConfig, tgt_pos, tgt_idx, src_pos, src_mass,
     if backend == "auto":
         backend = "pallas" if _on_tpu() else "xla"
     if backend == "pallas":
+        import os
         from . import pallas as pk
-        return pk.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass,
-                              src_idx, mask, eps, G)
+        fused = (os.environ.get("RAKAU_SHARED_FUSED", "1") != "0"
+                 and src_pos.shape[0] <= pk.FUSED_VMEM_SRC_LIMIT)
+        fn = pk.eval_shared_fused if fused else pk.eval_shared
+        return fn(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
+                  eps, G)
     return xla.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx,
                            mask, eps, G)
 

@@ -392,6 +392,135 @@ def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
     return G * acc, G * pot
 
 
+def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block):
+    """Fused shared-candidate kernel: grid (C,) — one step per tile.
+
+    The whole shared source row stays VMEM-resident across the grid
+    (constant index map -> Mosaic skips the refetch), and each tile loops
+    over a COMPACTED list of its active source blocks (scalar-prefetched
+    ids/counts), so dead blocks cost nothing — neither pipeline steps
+    (the ~25-60us/step floor that bounded the blocked variant) nor VPU
+    work. Per-tile masks ride along as one f32 row and fold into the
+    source masses.
+
+    refs: tgt planes x ndim + tgt_idx  [1,T,1],
+          src planes x ndim + mass + idx [1,1,S] (whole row),
+          mask [1,1,S] (per tile),
+          outs: acc planes x ndim + pot [1,T,1]."""
+    c = pl.program_id(0)
+    tgt_refs = refs[:ndim]
+    ti_ref = refs[ndim]
+    src_refs = refs[ndim + 1:2 * ndim + 3]
+    mask_ref = refs[2 * ndim + 3]
+    out_refs = refs[2 * ndim + 4:]
+    eps2 = eps2_ref[0]
+
+    T = tgt_refs[0].shape[1]
+    tcols = [r[0] for r in tgt_refs]                    # (T, 1)
+    ti = ti_ref[0]                                      # (T, 1) i32
+
+    def body(k, carry):
+        accs, pot = carry
+        off = pl.multiple_of(ids_ref[c, k] * block, block)
+        srows = [src_refs[d][0, :, pl.ds(off, block)]
+                 for d in range(ndim)]                  # (1, B)
+        m = src_refs[ndim][0, :, pl.ds(off, block)]
+        si = src_refs[ndim + 1][0, :, pl.ds(off, block)]
+        mk = mask_ref[0, :, pl.ds(off, block)]
+        dxs = []
+        r2 = None
+        for d in range(ndim):
+            dx = srows[d] - tcols[d]                    # (T, B)
+            dxs.append(dx)
+            r2 = dx * dx if r2 is None else r2 + dx * dx
+        r2 = r2 + eps2
+        inv_r = jax.lax.rsqrt(r2)
+        dead = (si == ti) | (r2 <= 0.0)
+        inv_r = jnp.where(dead, 0.0, inv_r)
+        w = (m * mk) * inv_r
+        w3 = w * inv_r * inv_r
+        pot = pot - jnp.sum(w, axis=1, keepdims=True)
+        accs = [a + jnp.sum(w3 * dx, axis=1, keepdims=True)
+                for a, dx in zip(accs, dxs)]
+        return accs, pot
+
+    acc0 = [jnp.zeros((T, 1), jnp.float32) for _ in range(ndim)]
+    pot0 = jnp.zeros((T, 1), jnp.float32)
+    accs, pot = jax.lax.fori_loop(0, cnt_ref[c], body, (acc0, pot0))
+    for d in range(ndim):
+        out_refs[d][0] = accs[d]
+    out_refs[ndim][0] = pot
+
+
+# The fused kernel holds the full shared source row (ndim+2 f32 planes) in
+# VMEM plus a double-buffered mask row: ~28 B/entry against ~16 MB/core.
+FUSED_VMEM_SRC_LIMIT = 400_000  # source entries
+
+
+def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
+                      eps, G, block: int = None, interpret: bool = False):
+    """Fused shared-candidate evaluation (see _shared_fused_kernel)."""
+    import os
+    if block is None:
+        block = int(os.environ.get("RAKAU_PALLAS_BLOCK", 1024))
+    C, T, D = tgt_pos.shape
+    S0 = src_pos.shape[0]
+    block = min(block, max(128, S0))
+    nb = -(-S0 // block)
+    pad = nb * block - S0
+    S = nb * block
+    if pad:
+        src_pos = jnp.pad(src_pos, ((0, pad), (0, 0)),
+                          constant_values=1e30)
+        src_mass = jnp.pad(src_mass, (0, pad))
+        src_idx = jnp.pad(src_idx, (0, pad), constant_values=-1)
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    maskf = mask.astype(jnp.float32)
+    blk_any = maskf.reshape(C, nb, block).sum(axis=2) > 0     # [C, nb]
+    from .. import scan_utils as su
+    ids, cnt = su.compact_indices(blk_any, nb)                # [C, nb], [C]
+    ids = jnp.minimum(ids, nb - 1).astype(jnp.int32)
+    cnt = cnt.astype(jnp.int32)
+    eps2 = jnp.asarray([jnp.asarray(eps, jnp.float32) ** 2], jnp.float32)
+
+    tgt_planes = [tgt_pos[:, :, d:d + 1] for d in range(D)]
+    tgt_planes.append(tgt_idx[:, :, None])
+    src_planes = [src_pos[:, d].reshape(1, 1, S) for d in range(D)]
+    src_planes.append(src_mass.reshape(1, 1, S))
+    src_planes.append(src_idx.reshape(1, 1, S))
+    mask3 = maskf[:, None, :]
+
+    def tspec():
+        return pl.BlockSpec((1, T, 1), lambda c, i, n, e: (c, 0, 0))
+
+    def shared_spec():
+        return pl.BlockSpec((1, 1, S), lambda c, i, n, e: (0, 0, 0))
+
+    def mspec():
+        return pl.BlockSpec((1, 1, S), lambda c, i, n, e: (c, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(C,),
+        in_specs=([tspec() for _ in tgt_planes]
+                  + [shared_spec() for _ in src_planes]
+                  + [mspec()]),
+        out_specs=[tspec() for _ in range(D + 1)],
+    )
+    kernel = functools.partial(_shared_fused_kernel, ndim=D, block=block)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((C, T, 1), jnp.float32)
+                   for _ in range(D + 1)],
+        interpret=interpret,
+    )(ids, cnt, eps2, *tgt_planes, *src_planes, mask3)
+    acc = jnp.concatenate(outs[:D], axis=2)
+    pot = outs[D][:, :, 0]
+    G = jnp.asarray(G, tgt_pos.dtype)
+    return G * acc, G * pot
+
+
 def eval_tiles(tgt_pos, tgt_idx, m2p_pos, m2p_mass, m2p_quad,
                p2p_pos, p2p_mass, p2p_idx, eps, G,
                m2p_cnt=None, p2p_cnt=None,

@@ -22,6 +22,12 @@ import jax  # noqa: E402
 # from the env; override the live config too.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache for the CPU test graphs (single-core machine:
+# sort-bearing XLA:CPU compiles dominate suite wall time otherwise).
+# Separate dir from the TPU cache; same-host reuse only.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

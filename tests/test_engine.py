@@ -106,6 +106,41 @@ def test_quadrupole_improves_accuracy():
     assert errs[2] < errs[0] * 0.5, errs
 
 
+def test_local_farfield_matches_m2p():
+    """The tile-local expansion far field (expansion.py) must stay inside
+    the per-particle M2P path's accuracy envelope at matching settings."""
+    n = 4096
+    pos, mass = particles.plummer(jax.random.PRNGKey(21), n)
+    acc_o, pot_o = direct.direct_acc_pot_np(np.asarray(pos), np.asarray(mass))
+    base = TreeConfig(max_depth=10, max_leaf_n=16, ncrit=64, tile_chunk=16,
+                      p2p_leaf_cap=2048)
+    res = {}
+    for ff in ["m2p", "local"]:
+        acc, pot = tree_acc_pot(pos, mass, base.with_(farfield=ff), 0.75)
+        res[ff] = (acc, pot, rms(rel_vec_err(acc, acc_o)),
+                   rms((pot - pot_o) / pot_o))
+    # against direct sum: local within 1.5x of the m2p envelope
+    assert res["local"][2] < max(res["m2p"][2] * 1.5, 1e-3), (
+        res["local"][2], res["m2p"][2])
+    assert res["local"][3] < max(res["m2p"][3] * 1.5, 1e-3)
+    # the two modes agree closely particle-by-particle
+    dv = rms(rel_vec_err(res["local"][0], res["m2p"][0]))
+    assert dv < 5e-3, dv
+
+
+def test_local_farfield_with_softening():
+    n = 2048
+    pos, mass = particles.uniform_cube(jax.random.PRNGKey(23), n)
+    cfg = TreeConfig(max_depth=8, max_leaf_n=16, ncrit=64, tile_chunk=8,
+                     farfield="local")
+    eps = 0.05
+    acc, pot = tree_acc_pot(pos, mass, cfg, theta=0.5, eps=eps)
+    acc_o, pot_o = direct.direct_acc_pot_np(
+        np.asarray(pos), np.asarray(mass), eps=eps)
+    assert rms(rel_vec_err(acc, acc_o)) < 5e-3
+    assert rms((pot - pot_o) / pot_o) < 5e-3
+
+
 def test_fp64_path():
     n = 1024
     pos, mass = particles.plummer(jax.random.PRNGKey(15), n,

@@ -76,6 +76,33 @@ def test_pallas_shared_matches_xla(rng):
                                atol=2e-5)
 
 
+def test_pallas_shared_fused_matches_xla(rng):
+    """Fused single-step-per-tile variant (compacted active-block loop)."""
+    C, T, S, n = 4, 32, 384, 2000
+    tgt_pos = jnp.asarray(rng.standard_normal((C, T, 3)), jnp.float32)
+    tgt_idx = jnp.asarray(
+        rng.choice(n, size=(C, T), replace=False).astype(np.int32))
+    src_pos = jnp.asarray(rng.standard_normal((S, 3)), jnp.float32)
+    src_mass = jnp.asarray(rng.uniform(0.1, 1, S), jnp.float32)
+    src_idx = jnp.asarray(rng.integers(-1, n, S), jnp.int32)
+    # sparse mask with whole dead blocks (block=64 below)
+    mask = jnp.asarray(rng.uniform(size=(C, S)) < 0.3)
+    mask = mask.at[:, 64:192].set(False)
+    mask = mask.at[2].set(False)  # one tile with nothing at all
+    src_pos = src_pos.at[:8].set(tgt_pos[0, :8])
+    src_idx = src_idx.at[:8].set(tgt_idx[0, :8])
+    a1, p1 = pk.eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass,
+                                  src_idx, mask, 0.01, 1.0, block=64,
+                                  interpret=True)
+    a2, p2 = xk.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx,
+                            mask, 0.01, 1.0, block=64)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=2e-4,
+                               atol=2e-5)
+    assert not np.asarray(a1)[2].any() and not np.asarray(p1)[2].any()
+
+
 def test_pallas_block_skip_correctness(rng):
     # counts much smaller than caps: skipped blocks must not change sums
     (tgt_pos, tgt_idx, m_pos, m_mass, m_cnt, p_pos, p_mass, p_idx,
