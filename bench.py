@@ -53,7 +53,11 @@ def main():
         p2p_leaf_cap=int(os.environ.get("RAKAU_BENCH_P2PLEAF", 2048)),
         p2p_src_cap=int(os.environ.get("RAKAU_BENCH_P2PSRC", 65536)),
         frontier_cap=int(os.environ.get("RAKAU_BENCH_FCAP", 1024)),
+        farfield=os.environ.get("RAKAU_BENCH_FARFIELD", "grid"),
+        accum=os.environ.get("RAKAU_BENCH_ACCUM", "fp32"),
     )
+    if os.environ.get("RAKAU_BENCH_GRIDLEVEL"):
+        cfg = cfg.with_(grid_level=int(os.environ["RAKAU_BENCH_GRIDLEVEL"]))
 
     build_jit = jax.jit(build.build_tree, static_argnames=("cfg",))
 
@@ -148,6 +152,7 @@ def main():
             "reps": reps,
             "n_nodes": int(td.n_nodes),
             "n_tiles": int(td.n_tiles),
+            "farfield": cfg.farfield,
         },
     }
     print(json.dumps(out))

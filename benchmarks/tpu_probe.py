@@ -56,7 +56,7 @@ def probe(n, backend, cfg_kw, theta=0.75, reps=3):
 
 def list_stats(td, cfg, theta=0.75):
     """Interaction-list occupancy (padding-waste diagnostics)."""
-    tiles_pos, tiles_idx, blo, bhi = engine._gather_tiles(td, cfg)
+    tiles_pos, tiles_idx, blo, bhi, _tcell = engine._gather_tiles(td, cfg)
     nch = tiles_pos.shape[0]
     m2p, p2p = [], []
     f = jax.jit(traversal.build_interaction_lists,

@@ -68,13 +68,18 @@ class TreeData(NamedTuple):
     node_quad: jnp.ndarray         # [M, Q] quadrupole moments about COM
     node_center: jnp.ndarray       # [M, D] geometric cell center
     node_parent: jnp.ndarray       # [M] int32 parent slot (root -> 0)
+    node_cell: jnp.ndarray         # [M, D] int32 cell coords at own level
     n_nodes: jnp.ndarray           # [] int32 total nodes used
     overflow: jnp.ndarray          # [] bool node or tile capacity exceeded
     box_size: jnp.ndarray          # [] dtype
     # target tiles: ncrit-wide Morton slices within each deepest >ncrit
-    # node (TPU re-tuning of rakau's critical nodes; cell-bounded extent)
+    # node (TPU re-tuning of rakau's critical nodes; cell-bounded extent).
+    # With farfield="grid" tiles are additionally clipped at leaf-grid
+    # cell boundaries so every tile lies in exactly one grid cell (the
+    # stencil-coverage drop tests are then exact per tile, grid.py).
     tile_begin: jnp.ndarray        # [TC] int32 first particle
     tile_cnt: jnp.ndarray          # [TC] int32 particle count (0 = padding)
+    tile_cell: jnp.ndarray         # [TC, D] int32 leaf-grid cell coords
     n_tiles: jnp.ndarray           # [] int32
 
 
@@ -162,9 +167,12 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
         s_grp = jnp.where(cnt > cfg.ncrit, l, s_grp)
         return s_leaf, s_grp
 
+    # carry init derives from cpl (not a fresh constant) so that under
+    # shard_map the "varying manual axes" of input and output carries
+    # match; XLA constant-folds the arithmetic anyway.
+    init_m1 = cpl * 0 - 1
     s_leaf, s_grp = jax.lax.fori_loop(
-        0, depth + 1, passA,
-        (jnp.full(n, -1, I32), jnp.full(n, -1, I32)))
+        0, depth + 1, passA, (init_m1, init_m1))
     lam = jnp.clip(s_leaf + 1, 0, depth)       # leaf level per particle
     glvl = jnp.maximum(s_grp, 0)               # tile-group level
 
@@ -208,7 +216,7 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
         r = R[jnp.clip(b, 0, n - 1)]
         return jnp.where(mask, r - b, node_cnt)
 
-    node_cnt = jnp.full(M, 0, I32)
+    node_cnt = jnp.full(M, 0, I32) + init_m1[0] + 1  # varying zero
     node_cnt = node_cnt.at[0].set(n)  # root (single-element update)
     node_cnt = jax.lax.fori_loop(1, depth + 1, passB, node_cnt)
     node_end = node_begin + node_cnt
@@ -293,6 +301,14 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
     # ---- 8. tile table ------------------------------------------------
     glvl_prev = jnp.concatenate([jnp.zeros(1, I32), glvl[:-1]])
     head_g = (pidx == 0) | (glvl != glvl_prev) | (cpl < glvl)
+    L0 = 0
+    if cfg.farfield == "grid":
+        from .grid import effective_grid_level
+        L0 = effective_grid_level(cfg, n)
+        if L0 > 0:
+            # clip tile runs at leaf-grid cell boundaries (tiles must sit
+            # inside one grid cell for exact stencil-coverage drops)
+            head_g = head_g | (cpl < L0)
     seg_begin = jax.lax.cummax(jnp.where(head_g, pidx, 0))
     pos_in = pidx - seg_begin
     head_t = head_g | (pos_in % cfg.ncrit == 0)
@@ -306,6 +322,16 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
     tvalid = tq <= n_tiles
     tile_begin = jnp.where(tvalid, tile_begin, 0)
     tile_cnt = jnp.where(tvalid, jnp.minimum(tnext, n) - tile_begin, 0)
+    # leaf-grid cell of each tile (head particle's cell; exact because
+    # tiles are clipped at grid-cell boundaries in grid mode)
+    tile_cell = (cells_s[tile_begin] >> jnp.asarray(depth - L0, U32)
+                 ).astype(I32)
+    tile_cell = jnp.where(tvalid[:, None], tile_cell, 0)
+
+    # per-node cell coords at the node's own level (traversal drop tests)
+    shift_node = jnp.clip(depth - node_level, 0, 31).astype(U32)
+    node_cell = (head_cells >> shift_node[:, None]).astype(I32)
+    node_cell = jnp.where(node_valid[:, None], node_cell, 0)
 
     return TreeData(
         pos=pos_s, mass=mass_s, code_hi=hi_s, code_lo=lo_s,
@@ -318,5 +344,7 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
         node_is_leaf=node_is_leaf, node_level=node_level,
         node_delta=node_delta, node_quad=node_quad,
         node_center=node_center, node_parent=node_parent,
+        node_cell=node_cell,
         n_nodes=n_nodes, overflow=overflow, box_size=box_size,
-        tile_begin=tile_begin, tile_cnt=tile_cnt, n_tiles=n_tiles)
+        tile_begin=tile_begin, tile_cnt=tile_cnt, tile_cell=tile_cell,
+        n_tiles=n_tiles)

@@ -71,9 +71,19 @@ class TreeConfig:
     # MAC-accepted nodes that are far relative to the target tile into a
     # tile-local Taylor expansion (M2L+L2P, expansion.py) and keeps only
     # near nodes on the per-particle M2P kernel path; "m2p" evaluates
-    # every accepted node per particle (reference-exact structure).
-    farfield: str = "local"  # "local" | "m2p"
+    # every accepted node per particle (reference-exact structure);
+    # "grid" additionally computes everything beyond the 5^D-cell leaf-
+    # grid neighborhood with dense stencil M2L (grid.py) so the walk only
+    # resolves the near region ("local" rules apply inside it).
+    farfield: str = "local"  # "local" | "m2p" | "grid"
     local_order: int = 3     # Taylor order of the potential (2 or 3)
+    # Leaf-grid level for farfield="grid" (None = auto from n/ncrit,
+    # memory-capped; grid.effective_grid_level). Static per config.
+    grid_level: Optional[int] = None
+    # Kernel accumulation: "fp32" or "compensated" (TwoSum across source
+    # blocks — the TPU-native "mixed fp32/fp64 accumulation" of BASELINE
+    # config #3; fp64 hardware accumulate does not exist on TPU).
+    accum: str = "fp32"
     # Far gate: dist(tile_center, COM) > gamma * r_tile. gamma=4 measured
     # RMS-neutral vs the exact per-particle M2P path at theta=0.75
     # (1.99e-3 vs 1.98e-3, 16k Plummer); gamma=2 trades ~1.8x RMS for a
@@ -101,12 +111,14 @@ class TreeConfig:
             raise ValueError("kernel_backend must be auto|xla|pallas")
         if self.traversal_mode not in ("shared", "lists"):
             raise ValueError("traversal_mode must be shared|lists")
-        if self.farfield not in ("local", "m2p"):
-            raise ValueError("farfield must be local|m2p")
+        if self.farfield not in ("local", "m2p", "grid"):
+            raise ValueError("farfield must be local|m2p|grid")
         if self.local_order not in (2, 3):
             raise ValueError("local_order must be 2 or 3")
         if self.local_gamma <= 1.0:
             raise ValueError("local_gamma must be > 1 (rho = 1/gamma < 1)")
+        if self.accum not in ("fp32", "compensated"):
+            raise ValueError("accum must be fp32|compensated")
 
     @property
     def jdtype(self):
@@ -135,7 +147,14 @@ class TreeConfig:
         # actual count is ~1.3x N/ncrit; every padding tile costs a full
         # (walk + kernel) pass in a chunk, so keep this snug and rely on
         # the overflow-retry to grow it for pathological distributions.
-        return 2 * (-(-n_particles // self.ncrit)) + 64
+        cap = 2 * (-(-n_particles // self.ncrit)) + 64
+        if self.farfield == "grid":
+            # grid mode clips tiles at leaf-grid cell boundaries: up to
+            # one extra tile per occupied cell.
+            from .grid import effective_grid_level
+            L0 = effective_grid_level(self, n_particles)
+            cap += min((1 << L0) ** self.ndim, n_particles)
+        return cap
 
     def with_(self, **kw) -> "TreeConfig":
         return dataclasses.replace(self, **kw)

@@ -52,15 +52,17 @@ def _gather_tiles(td: TreeData, cfg: TreeConfig):
     tiles_pos = td.pos[safe]
     tiles_idx = jnp.where(mask, idx, n).astype(I32)
     # Tile AABBs from the gathered targets (empty tiles get an inverted
-    # far box so every node MAC-accepts trivially and is then masked out).
+    # far box; they are excluded from the walk via tile_valid).
     tlo = jnp.min(jnp.where(mask[..., None], tiles_pos, big), axis=1)
     thi = jnp.max(jnp.where(mask[..., None], tiles_pos, -big), axis=1)
+    tcell = jnp.pad(td.tile_cell, ((0, pad), (0, 0)))
 
     shape = (n_chunks, CH)
     return (tiles_pos.reshape(shape + (T, ndim)),
             tiles_idx.reshape(shape + (T,)),
             tlo.reshape(shape + (ndim,)),
-            thi.reshape(shape + (ndim,)))
+            thi.reshape(shape + (ndim,)),
+            tcell.reshape(shape + (ndim,)))
 
 
 def _gather_sources(td: TreeData, cfg: TreeConfig, il, dtype):
@@ -90,17 +92,27 @@ def _gather_sources(td: TreeData, cfg: TreeConfig, il, dtype):
 
 
 def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
-                tpos, tidx, blo, bhi, tables=None):
+                tpos, tidx, blo, bhi, tables=None, tcell=None,
+                Lgrid=None, extra=None):
     """Traversal + gather + kernel for one chunk of tiles (shared by the
-    single-chip and sharded paths)."""
+    single-chip and sharded paths).
+
+    extra: optional (pos [E, D], mass [E]) additional sources applied to
+    every valid tile — the LET import path (parallel/let.py): remote
+    macro-particles/boundary particles enter the same far/near gate as
+    walk-accepted nodes (far -> tile local expansion, near -> kernel)."""
     from .kernels import dispatch  # late import to avoid cycles
     if cfg.traversal_mode == "shared" and cfg.multipole_order < 2:
         from . import expansion, traversal2
+        n = td.pos.shape[0]
+        tvalid = tidx[:, 0] < n
         src = traversal2.build_shared_sources(td, cfg, theta, blo, bhi,
-                                              tables=tables)
+                                              tables=tables,
+                                              tile_cell=tcell,
+                                              tile_valid=tvalid)
         mask = src.mask
         acc_l = pot_l = None
-        if cfg.farfield == "local":
+        if cfg.farfield in ("local", "grid"):
             # Far/near gate on the M2P node rows (first m2p_cap entries):
             # far nodes collapse into per-tile local expansions (M2L+L2P,
             # expansion.py); near nodes stay on the per-particle kernel
@@ -115,10 +127,43 @@ def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
             mask = jnp.concatenate([near, mask[:, U:]], axis=1)
             L = expansion.m2l(center, src.pos[:U], src.mass[:U], far,
                               eps, cfg.local_order)
+            if cfg.farfield == "grid" and Lgrid is not None:
+                # inherit the dense stencil far field: leaf-grid cell
+                # expansion recentred to the tile center
+                from . import grid as gridmod
+                ndim = td.pos.shape[1]
+                L0 = gridmod.effective_grid_level(cfg, n)
+                flat = gridmod.rowmajor_cell_index(tcell, ndim, L0)
+                Lg = Lgrid[flat]                        # [C, NC]
+                s0 = td.box_size * (2.0 ** -L0)
+                ccenter = (tcell.astype(dtype) + 0.5) * s0 - td.box_size / 2
+                shift = jnp.where(tvalid[:, None], center - ccenter, 0.0)
+                L = L + jnp.where(
+                    tvalid[:, None],
+                    expansion.l2l(Lg, shift, cfg.local_order), 0.0)
+            if extra is not None:
+                e_pos, e_mass = extra
+                far_e, near_e = expansion.far_split(
+                    center, rad2, e_pos, e_mass,
+                    jnp.broadcast_to(tvalid[:, None],
+                                     (tvalid.shape[0], e_pos.shape[0])),
+                    cfg.local_gamma)
+                L = L + expansion.m2l(center, e_pos, e_mass, far_e,
+                                      eps, cfg.local_order)
             acc_l, pot_l = expansion.l2p(L, center, tpos, G,
                                          cfg.local_order)
+        src_pos, src_mass, src_idx = src.pos, src.mass, src.idx
+        if extra is not None:
+            if cfg.farfield == "m2p":
+                near_e = jnp.broadcast_to(
+                    tvalid[:, None], (tvalid.shape[0], extra[0].shape[0]))
+            src_pos = jnp.concatenate([src_pos, extra[0]], axis=0)
+            src_mass = jnp.concatenate([src_mass, extra[1]], axis=0)
+            src_idx = jnp.concatenate(
+                [src_idx, jnp.full(extra[0].shape[0], -1, I32)], axis=0)
+            mask = jnp.concatenate([mask, near_e], axis=1)
         acc, pot = dispatch.eval_shared(
-            cfg, tpos, tidx, src.pos, src.mass, src.idx, mask, eps, G)
+            cfg, tpos, tidx, src_pos, src_mass, src_idx, mask, eps, G)
         if acc_l is not None:
             acc = acc + acc_l
             pot = pot + pot_l
@@ -135,26 +180,30 @@ def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
 
 
 def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0,
-              with_stats: bool = False):
+              with_stats: bool = False, extra=None):
     """Accelerations and potentials for all particles, Morton order.
 
     Returns (acc [N, D], pot [N], overflow [4] bool) and, with
     with_stats, a [3] int32 vector of max (m2p, p2p_src, frontier)
-    counts for cap auto-tuning. Jittable; cfg static."""
+    counts for cap auto-tuning. Jittable; cfg static. extra: optional
+    (pos [E, D], mass [E]) sources added to every tile (LET imports)."""
     n, ndim = td.pos.shape
     dtype = td.pos.dtype
-    tiles_pos, tiles_idx, box_lo, box_hi = _gather_tiles(td, cfg)
+    tiles_pos, tiles_idx, box_lo, box_hi, tiles_cell = _gather_tiles(
+        td, cfg)
     tables = _make_tables(td, cfg)
+    Lgrid = _grid_farfield(td, cfg, eps)
 
     def chunk_fn(args):
-        tpos, tidx, blo, bhi = args
+        tpos, tidx, blo, bhi, tcell = args
         acc, pot, ovf, mx = _eval_chunk(td, cfg, theta, eps, G, dtype,
                                         tpos, tidx, blo, bhi,
-                                        tables=tables)
+                                        tables=tables, tcell=tcell,
+                                        Lgrid=Lgrid, extra=extra)
         return acc, pot, tidx, ovf, mx
 
     acc, pot, tidx, ovf, mx = jax.lax.map(
-        chunk_fn, (tiles_pos, tiles_idx, box_lo, box_hi))
+        chunk_fn, (tiles_pos, tiles_idx, box_lo, box_hi, tiles_cell))
     # Particles are partitioned by tiles in Morton order, so results map
     # back by a monotone gather: particle i lives in the tile whose begin
     # is the last one <= i, at offset i - begin (scatter-free).
@@ -197,26 +246,49 @@ def _make_tables(td, cfg):
     return None
 
 
+def _grid_farfield(td, cfg, eps):
+    """Dense stencil far field (grid.py) when enabled; else None."""
+    if (cfg.farfield != "grid" or cfg.traversal_mode != "shared"
+            or cfg.multipole_order >= 2):
+        return None
+    from . import grid as gridmod
+    n, ndim = td.pos.shape
+    L0 = gridmod.effective_grid_level(cfg, n)
+    if L0 <= 0:
+        return None
+    pyr = gridmod.build_pyramid(td, ndim, cfg.max_depth, L0)
+    return gridmod.dense_far_field(pyr, ndim, L0, td.box_size, eps,
+                                   cfg.local_order)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _tiles_jit(td, cfg):
     return _gather_tiles(td, cfg), _make_tables(td, cfg)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _grid_jit(td, cfg, eps):
+    return _grid_farfield(td, cfg, eps)
+
+
 @partial(jax.jit, static_argnames=("cfg", "K"))
-def _slice_query_jit(td, cfg, theta, eps, G, tiles, tables, start, K):
-    tiles_pos, tiles_idx, box_lo, box_hi = tiles
+def _slice_query_jit(td, cfg, theta, eps, G, tiles, tables, Lgrid,
+                     start, K):
+    tiles_pos, tiles_idx, box_lo, box_hi, tiles_cell = tiles
     dtype = td.pos.dtype
 
     def sl(a):
         return jax.lax.dynamic_slice_in_dim(a, start, K, axis=0)
 
     def chunk_fn(args):
-        tpos, tidx, blo, bhi = args
+        tpos, tidx, blo, bhi, tcell = args
         return _eval_chunk(td, cfg, theta, eps, G, dtype, tpos, tidx,
-                           blo, bhi, tables=tables)
+                           blo, bhi, tables=tables, tcell=tcell,
+                           Lgrid=Lgrid)
 
     acc, pot, ovf, mx = jax.lax.map(
-        chunk_fn, (sl(tiles_pos), sl(tiles_idx), sl(box_lo), sl(box_hi)))
+        chunk_fn, (sl(tiles_pos), sl(tiles_idx), sl(box_lo), sl(box_hi),
+                   sl(tiles_cell)))
     return acc, pot, jnp.any(ovf, axis=0), jnp.max(mx, axis=0)
 
 
@@ -252,6 +324,7 @@ def acc_pot_u_host(td, cfg: TreeConfig, theta, eps, G=1.0,
     eps = jnp.asarray(eps, dt)
     G = jnp.asarray(G, dt)
     tiles, tables = _tiles_jit(td, cfg)
+    Lgrid = _grid_jit(td, cfg, eps)
     n_chunks = tiles[0].shape[0]
     CH = tiles[0].shape[1]
     # Only slices containing real tiles need processing (tile capacity
@@ -265,7 +338,7 @@ def acc_pot_u_host(td, cfg: TreeConfig, theta, eps, G=1.0,
     for s in range(0, n_live, K):
         start = min(s, n_live - K)  # final slice overlaps; results align
         a, p, o, m = _slice_query_jit(td, cfg, theta, eps, G, tiles,
-                                      tables, start, K)
+                                      tables, Lgrid, start, K)
         if start < s:  # trim the overlap of the final slice
             keep = n_live - s
             a, p = a[-keep:], p[-keep:]

@@ -76,34 +76,34 @@ def n_coeffs(ndim: int, order: int) -> int:
     return n
 
 
-def m2l(center, node_pos, node_mass, far_mask, eps, order: int = 3):
-    """Accumulate far nodes into per-tile local expansions.
+def m2l_terms(Dv, m, eps, order: int = 3):
+    """Per-source local-expansion contributions (no reduction).
 
-    center [C, D]; node_pos [U, D]; node_mass [U]; far_mask [C, U] bool;
-    returns L [C, n_coeffs]. All dense panels — no gathers."""
-    C, ndim = center.shape
-    dt = center.dtype
+    Dv [..., D]: source position minus expansion center; m [...]: masked
+    source mass (0 = inert). Returns [..., NC] coefficient contributions.
+    Shared by the per-tile m2l (sum over a source axis) and the dense-grid
+    stencil M2L (accumulation over shifted whole grids)."""
+    ndim = Dv.shape[-1]
+    dt = Dv.dtype
     pairs, triples = sym_indices(ndim)
     eps2 = jnp.asarray(eps, dt) ** 2
 
-    Dv = node_pos[None, :, :] - center[:, None, :]          # [C, U, D]
     d2 = jnp.sum(Dv * Dv, axis=-1) + eps2
     u2 = jnp.where(d2 > 0, 1.0 / d2, 0.0)
     u = jnp.sqrt(u2)
-    m = jnp.where(far_mask, node_mass[None, :], 0.0)        # [C, U]
     mu = m * u
     mu3 = mu * u2
     mu5 = mu3 * u2
     mu7 = mu5 * u2
 
-    cols = [jnp.sum(mu, axis=1)]                            # P0
+    cols = [mu]                                             # P0
     for a in range(ndim):                                   # P1
-        cols.append(jnp.sum(mu3 * Dv[..., a], axis=1))
+        cols.append(mu3 * Dv[..., a])
     for (a, b), _ in pairs:                                 # H (unique)
         h = 3.0 * mu5 * Dv[..., a] * Dv[..., b]
         if a == b:
             h = h - mu3
-        cols.append(jnp.sum(h, axis=1))
+        cols.append(h)
     if order >= 3:
         for (a, b, c), _ in triples:                        # P3 (unique)
             t = 15.0 * mu7 * Dv[..., a] * Dv[..., b] * Dv[..., c]
@@ -113,8 +113,18 @@ def m2l(center, node_pos, node_mass, far_mask, eps, order: int = 3):
                 t = t - 3.0 * mu5 * Dv[..., b]
             if b == c:
                 t = t - 3.0 * mu5 * Dv[..., a]
-            cols.append(jnp.sum(t, axis=1))
-    return jnp.stack(cols, axis=1)                          # [C, NC]
+            cols.append(t)
+    return jnp.stack(cols, axis=-1)                         # [..., NC]
+
+
+def m2l(center, node_pos, node_mass, far_mask, eps, order: int = 3):
+    """Accumulate far nodes into per-tile local expansions.
+
+    center [C, D]; node_pos [U, D]; node_mass [U]; far_mask [C, U] bool;
+    returns L [C, n_coeffs]. All dense panels — no gathers."""
+    Dv = node_pos[None, :, :] - center[:, None, :]          # [C, U, D]
+    m = jnp.where(far_mask, node_mass[None, :], 0.0)        # [C, U]
+    return jnp.sum(m2l_terms(Dv, m, eps, order), axis=1)    # [C, NC]
 
 
 def l2p(L, center, tgt_pos, G, order: int = 3):

@@ -23,16 +23,20 @@ def eval_shared(cfg: TreeConfig, tgt_pos, tgt_idx, src_pos, src_mass,
     backend = cfg.kernel_backend
     if backend == "auto":
         backend = "pallas" if _on_tpu() else "xla"
+    comp = cfg.accum == "compensated"
     if backend == "pallas":
         import os
         from . import pallas as pk
         fused = (os.environ.get("RAKAU_SHARED_FUSED", "1") != "0"
                  and src_pos.shape[0] <= pk.FUSED_VMEM_SRC_LIMIT)
-        fn = pk.eval_shared_fused if fused else pk.eval_shared
-        return fn(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
-                  eps, G)
+        if fused:
+            return pk.eval_shared_fused(tgt_pos, tgt_idx, src_pos,
+                                        src_mass, src_idx, mask, eps, G,
+                                        compensated=comp)
+        return pk.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass,
+                              src_idx, mask, eps, G)
     return xla.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx,
-                           mask, eps, G)
+                           mask, eps, G, compensated=comp)
 
 
 def eval_tiles(cfg: TreeConfig, tgt_pos, tgt_idx,

@@ -392,7 +392,16 @@ def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
     return G * acc, G * pot
 
 
-def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block):
+def _two_sum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly (compensated accumulation)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
+                         compensated=False):
     """Fused shared-candidate kernel: grid (C,) — one step per tile.
 
     The whole shared source row stays VMEM-resident across the grid
@@ -420,7 +429,7 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block):
     ti = ti_ref[0]                                      # (T, 1) i32
 
     def body(k, carry):
-        accs, pot = carry
+        accs, pot, comp = carry
         off = pl.multiple_of(ids_ref[c, k] * block, block)
         srows = [src_refs[d][0, :, pl.ds(off, block)]
                  for d in range(ndim)]                  # (1, B)
@@ -439,17 +448,26 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block):
         inv_r = jnp.where(dead, 0.0, inv_r)
         w = (m * mk) * inv_r
         w3 = w * inv_r * inv_r
-        pot = pot - jnp.sum(w, axis=1, keepdims=True)
-        accs = [a + jnp.sum(w3 * dx, axis=1, keepdims=True)
-                for a, dx in zip(accs, dxs)]
-        return accs, pot
+        parts = [jnp.sum(w3 * dx, axis=1, keepdims=True) for dx in dxs]
+        parts.append(-jnp.sum(w, axis=1, keepdims=True))
+        if compensated:
+            new = []
+            for i, (a, p) in enumerate(zip(accs + [pot], parts)):
+                s, e = _two_sum(a, p)
+                comp[i] = comp[i] + e
+                new.append(s)
+            return new[:ndim], new[ndim], comp
+        accs = [a + p for a, p in zip(accs, parts[:ndim])]
+        return accs, pot + parts[ndim], comp
 
     acc0 = [jnp.zeros((T, 1), jnp.float32) for _ in range(ndim)]
     pot0 = jnp.zeros((T, 1), jnp.float32)
-    accs, pot = jax.lax.fori_loop(0, cnt_ref[c], body, (acc0, pot0))
+    comp0 = [jnp.zeros((T, 1), jnp.float32) for _ in range(ndim + 1)]
+    accs, pot, comp = jax.lax.fori_loop(0, cnt_ref[c], body,
+                                        (acc0, pot0, comp0))
     for d in range(ndim):
-        out_refs[d][0] = accs[d]
-    out_refs[ndim][0] = pot
+        out_refs[d][0] = accs[d] + comp[d] if compensated else accs[d]
+    out_refs[ndim][0] = pot + comp[ndim] if compensated else pot
 
 
 # The fused kernel holds the full shared source row (ndim+2 f32 planes) in
@@ -458,7 +476,8 @@ FUSED_VMEM_SRC_LIMIT = 400_000  # source entries
 
 
 def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
-                      eps, G, block: int = None, interpret: bool = False):
+                      eps, G, block: int = None, interpret: bool = False,
+                      compensated: bool = False):
     """Fused shared-candidate evaluation (see _shared_fused_kernel)."""
     import os
     if block is None:
@@ -507,7 +526,8 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
                   + [mspec()]),
         out_specs=[tspec() for _ in range(D + 1)],
     )
-    kernel = functools.partial(_shared_fused_kernel, ndim=D, block=block)
+    kernel = functools.partial(_shared_fused_kernel, ndim=D, block=block,
+                               compensated=compensated)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

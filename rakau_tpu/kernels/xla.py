@@ -122,12 +122,22 @@ def eval_m2p(tgt_pos, src_pos, src_mass, eps, G, src_quad=None,
     return G * acc, G * pot
 
 
+def _two_sum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
 def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
-                eps, G, block: int = 1024):
+                eps, G, block: int = 1024, compensated: bool = False):
     """Shared-candidate evaluation: sources [S, ...] common to all C
     tiles, per-tile contribution mask [C, S] (traversal2). Direct
     per-component differences throughout (the mask mixes near and far
-    sources, so the near-field-safe path is used for all)."""
+    sources, so the near-field-safe path is used for all). With
+    `compensated`, partial block sums accumulate through TwoSum error
+    terms (the "mixed fp32/fp64 accumulation" of BASELINE config #3)."""
     C, T, D = tgt_pos.shape
     S = src_pos.shape[0]
     dtype = tgt_pos.dtype
@@ -145,7 +155,7 @@ def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
     mk = jnp.moveaxis(mk.reshape(C, nblk, block), 1, 0)
 
     def body(carry, blk):
-        acc, pot = carry
+        acc, pot, acc_c, pot_c = carry
         s, m, idx, mkb = blk                 # [B,D],[B],[B],[C,B]
         dds = [s[None, None, :, d] - tgt_pos[:, :, None, d]
                for d in range(D)]
@@ -155,13 +165,22 @@ def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
         inv_r = jnp.where(excl | (r2 <= 0), 0.0, inv_r)
         w = (m[None, None, :] * mkb[:, None, :]) * inv_r
         w3 = w * inv_r * inv_r
-        pot = pot - jnp.sum(w, axis=-1)
-        acc = acc + jnp.stack(
-            [jnp.sum(w3 * dd, axis=-1) for dd in dds], axis=-1)
-        return (acc, pot), None
+        dpot = -jnp.sum(w, axis=-1)
+        dacc = jnp.stack([jnp.sum(w3 * dd, axis=-1) for dd in dds],
+                         axis=-1)
+        if compensated:
+            acc, ea = _two_sum(acc, dacc)
+            pot, ep = _two_sum(pot, dpot)
+            return (acc, pot, acc_c + ea, pot_c + ep), None
+        return (acc + dacc, pot + dpot, acc_c, pot_c), None
 
-    init = (tgt_pos * 0, tgt_pos[..., 0] * 0)
-    (acc, pot), _ = jax.lax.scan(body, init, (sp, sm, si, mk))
+    init = (tgt_pos * 0, tgt_pos[..., 0] * 0,
+            tgt_pos * 0, tgt_pos[..., 0] * 0)
+    (acc, pot, acc_c, pot_c), _ = jax.lax.scan(body, init,
+                                               (sp, sm, si, mk))
+    if compensated:
+        acc = acc + acc_c
+        pot = pot + pot_c
     G = jnp.asarray(G, dtype)
     return G * acc, G * pot
 

@@ -48,7 +48,7 @@ def collect_query_stats(td: TreeData, cfg: TreeConfig, theta,
     are the meaningful padding-waste diagnostic; the shared-candidate
     mode auto-tunes from its own query maxima (engine with_stats)."""
     cfg = cfg.with_(traversal_mode="lists")
-    tiles_pos, tiles_idx, blo, bhi = engine._gather_tiles(td, cfg)
+    tiles_pos, tiles_idx, blo, bhi, _tcell = engine._gather_tiles(td, cfg)
     nch = tiles_pos.shape[0]
     f = jax.jit(traversal.build_interaction_lists,
                 static_argnames=("cfg",))

@@ -43,18 +43,20 @@ def default_mesh(n_devices: Optional[int] = None, axis: str = "shards"
 
 
 def _chunked_eval(td: TreeData, cfg: TreeConfig, theta, eps, G,
-                  tiles_pos, tiles_idx, box_lo, box_hi):
+                  tiles_pos, tiles_idx, box_lo, box_hi, tiles_cell):
     """Traverse+eval a [n_chunks, CH, ...] stack of tile chunks (the body
     shared with the single-chip engine)."""
     dtype = td.pos.dtype
 
     def chunk_fn(args):
-        tpos, tidx, blo, bhi = args
+        tpos, tidx, blo, bhi, tcell = args
         acc, pot, ovf, _mx = _eval_chunk(td, cfg, theta, eps, G, dtype,
-                                         tpos, tidx, blo, bhi)
+                                         tpos, tidx, blo, bhi,
+                                         tcell=tcell)
         return acc, pot, tidx, ovf
 
-    return jax.lax.map(chunk_fn, (tiles_pos, tiles_idx, box_lo, box_hi))
+    return jax.lax.map(chunk_fn, (tiles_pos, tiles_idx, box_lo, box_hi,
+                                  tiles_cell))
 
 
 def acc_pot_u_sharded(td: TreeData, cfg: TreeConfig, theta, eps, G,
@@ -65,7 +67,13 @@ def acc_pot_u_sharded(td: TreeData, cfg: TreeConfig, theta, eps, G,
     n, ndim = td.pos.shape
     dtype = td.pos.dtype
     ndev = mesh.shape[axis]
-    tiles_pos, tiles_idx, box_lo, box_hi = _gather_tiles(td, cfg)
+    if cfg.farfield == "grid":
+        # The replicated sharded path does not carry the dense stencil
+        # grids; fall back to the tile-local expansion rules (same
+        # envelope, no stencil coverage to subtract).
+        cfg = cfg.with_(farfield="local")
+    tiles_pos, tiles_idx, box_lo, box_hi, tiles_cell = _gather_tiles(
+        td, cfg)
     # [n_chunks, CH, ...] -> pad chunk axis to a multiple of ndev and
     # shard it.
     nc = tiles_pos.shape[0]
@@ -80,13 +88,14 @@ def acc_pot_u_sharded(td: TreeData, cfg: TreeConfig, theta, eps, G,
     tiles_idx = padc(tiles_idx, n)      # padding targets dropped on scatter
     box_lo = padc(box_lo, big)
     box_hi = padc(box_hi, -big)
+    tiles_cell = padc(tiles_cell, 0)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+             in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
              out_specs=(P(), P(), P()))
-    def run(td_rep, tpos, tidx, blo, bhi):
+    def run(td_rep, tpos, tidx, blo, bhi, tcell):
         acc_c, pot_c, tidx_c, ovf = _chunked_eval(
-            td_rep, cfg, theta, eps, G, tpos, tidx, blo, bhi)
+            td_rep, cfg, theta, eps, G, tpos, tidx, blo, bhi, tcell)
         flat_idx = tidx_c.reshape(-1)
         acc_u = jnp.zeros((n, ndim), dtype).at[flat_idx].set(
             acc_c.reshape(-1, ndim), mode="drop")
@@ -98,7 +107,7 @@ def acc_pot_u_sharded(td: TreeData, cfg: TreeConfig, theta, eps, G,
         ovf4 = jax.lax.pmax(jnp.any(ovf, axis=0).astype(jnp.int32), axis)
         return acc_u, pot_u, ovf4.astype(bool)
 
-    return run(td, tiles_pos, tiles_idx, box_lo, box_hi)
+    return run(td, tiles_pos, tiles_idx, box_lo, box_hi, tiles_cell)
 
 
 def acc_pot_sharded(pos, mass, cfg: TreeConfig, theta, eps, G, mesh: Mesh,

@@ -56,8 +56,9 @@ class TraversalTables(NamedTuple):
     ~7 ns/ROW on this platform vs ~10 ns/ELEMENT for separate field
     gathers — packing is a ~7x traversal saving).
 
-    ff [M, 8] f32: com_x..com_z (padded to D), mass, size, thresh_extra
-    (bh_geom delta or 0), leaf flag as float, unused.
+    ff [M, 12] f32: com_x..com_z (padded to 3), mass, size, thresh_extra
+    (bh_geom delta or 0), leaf flag, node level, cell_x..cell_z at the
+    node's own level (exact in f32: coords < 2^21 < 2^24), unused pad.
     ii [M, 2] i32: child_begin, child_count."""
     ff: jnp.ndarray
     ii: jnp.ndarray
@@ -73,7 +74,10 @@ def make_tables(td: TreeData, cfg: TreeConfig) -> TraversalTables:
     cols += [td.node_mass, size,
              td.node_delta if cfg.mac == MAC_BH_GEOM
              else jnp.zeros(M, dtype),
-             td.node_is_leaf.astype(dtype), jnp.zeros(M, dtype)]
+             td.node_is_leaf.astype(dtype),
+             td.node_level.astype(dtype)]
+    cols += [td.node_cell[:, d].astype(dtype) for d in range(D)]
+    cols += [jnp.zeros(M, dtype)] * (3 - D) + [jnp.zeros(M, dtype)]
     ff = jnp.stack(cols, axis=1)
     ii = jnp.stack([td.node_child_begin, td.node_child_count], axis=1)
     return TraversalTables(ff=ff, ii=ii)
@@ -81,8 +85,16 @@ def make_tables(td: TreeData, cfg: TreeConfig) -> TraversalTables:
 
 def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
                          box_lo, box_hi,
-                         tables: TraversalTables = None) -> SharedSources:
-    """One chunk's union walk. box_lo/hi: [C, D] tile AABBs. Jittable."""
+                         tables: TraversalTables = None,
+                         tile_cell=None, tile_valid=None) -> SharedSources:
+    """One chunk's union walk. box_lo/hi: [C, D] tile AABBs. Jittable.
+
+    With cfg.farfield == "grid", candidates covered by the dense stencil
+    far field are dropped (node's own-level cell separation >= 3 from the
+    tile's ancestor cell; grid.py coverage proof) and nodes above the
+    leaf-grid level are never MAC-accepted (their far part is in the
+    grid, their near part must descend); tile_cell [C, D] are the tiles'
+    leaf-grid cells. tile_valid [C] masks padding tiles out of the walk."""
     C, D = box_lo.shape
     dtype = td.pos.dtype
     theta_inv = 1.0 / jnp.asarray(theta, dtype)
@@ -91,6 +103,14 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     n = td.pos.shape[0]
     if tables is None:
         tables = make_tables(td, cfg)
+    use_grid = cfg.farfield == "grid"
+    L0 = 0
+    if use_grid:
+        from .grid import effective_grid_level
+        L0 = effective_grid_level(cfg, n)
+        use_grid = L0 > 0
+    if tile_valid is None:
+        tile_valid = jnp.ones((C,), bool)
 
     fcap = cfg.frontier_cap
     k8 = 2 ** cfg.ndim
@@ -115,6 +135,18 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
         thresh = size * theta_inv + extra
         acc = d2 > (thresh * thresh)[None, :]
         use = par_active_kc.T & valid[None, :]          # [C, K]
+        if use_grid:
+            lvl = row[:, 7].astype(I32)                 # [K]
+            ncell = row[:, 8:8 + D].astype(I32)         # [K, D]
+            # compare at l_eff = min(node level, L0)
+            sh_n = jnp.maximum(lvl - L0, 0)             # node deeper: >> to L0
+            sh_t = jnp.maximum(L0 - lvl, 0)             # node shallower
+            ncell_e = ncell >> sh_n[:, None]            # [K, D]
+            tcell_e = (tile_cell[:, None, :] >> sh_t[None, :, None])
+            sep = jnp.max(jnp.abs(ncell_e[None, :, :] - tcell_e),
+                          axis=-1)                      # [C, K]
+            use = use & (sep < 3)                       # covered -> drop
+            acc = acc & (lvl >= L0)[None, :]            # never accept above
         accepted = acc & use & (mass > 0)[None, :]
         opened = (~acc) & use
         m2p_m = accepted.T                              # [K, C]
@@ -127,10 +159,10 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     p2p_stack = jnp.zeros((R, K, C), bool) & (vary0 > 0)
     id_stack = jnp.full((R, K), -1, I32) + vary0
 
-    # round 0: the root alone
+    # round 0: the root alone (padding tiles excluded from the walk)
     root_ids = jnp.concatenate([jnp.zeros(1, I32),
                                 jnp.full(K - 1, -1, I32)])
-    root_act = (jnp.arange(K)[:, None] < 1) & jnp.ones((1, C), bool)
+    root_act = (jnp.arange(K)[:, None] < 1) & tile_valid[None, :]
     m0, p0, next0 = classify(root_ids, root_act)
     m2p_stack = m2p_stack.at[0].set(m0)
     p2p_stack = p2p_stack.at[0].set(p0)
@@ -229,6 +261,19 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     p_mass = jnp.where(rvalid, td.mass[pidx_c], 0.0)
     leaf_mask = p2p_flat[lidx_c] & lvalid[:, None]       # [lcap, C]
     p_mask = leaf_mask[row_c] & rvalid[:, None]          # [pcap, C]
+    if use_grid:
+        # Leaves ABOVE the grid level span several leaf-grid cells; their
+        # particles in stencil-covered cells (L0 separation >= 3 from the
+        # tile cell) are already in the dense far field — filter them per
+        # particle. Particles of deeper leaves share the leaf's cell and
+        # pass automatically (their leaf was not dropped).
+        from . import particles as pmod
+        pcell = (pmod.discretize(p_pos, td.box_size, cfg.max_depth)
+                 >> jnp.asarray(cfg.max_depth - L0, jnp.uint32)
+                 ).astype(I32)                           # [pcap, D]
+        psep = jnp.max(jnp.abs(pcell[:, None, :] - tile_cell[None, :, :]),
+                       axis=-1)                          # [pcap, C]
+        p_mask = p_mask & (psep < 3)
 
     pos = jnp.concatenate([m_pos, p_pos], axis=0).astype(dtype)
     mass = jnp.concatenate([m_mass, p_mass], axis=0).astype(dtype)

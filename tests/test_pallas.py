@@ -103,6 +103,41 @@ def test_pallas_shared_fused_matches_xla(rng):
     assert not np.asarray(a1)[2].any() and not np.asarray(p1)[2].any()
 
 
+def test_compensated_accumulation(rng):
+    """TwoSum block accumulation must agree with an fp64 reference better
+    than plain fp32 on a long, cancellation-heavy source list."""
+    C, T, S, n = 1, 8, 4096, 100000
+    tgt_pos = jnp.asarray(rng.standard_normal((C, T, 3)) * 0.01, jnp.float32)
+    tgt_idx = jnp.asarray(np.arange(T, dtype=np.int32)[None])
+    # sources in a far shell with huge mass spread -> long-sum rounding
+    dirs = rng.standard_normal((S, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    src = dirs * rng.uniform(5.0, 50.0, (S, 1))
+    mass = rng.uniform(1e-6, 10.0, S)
+    src_pos = jnp.asarray(src, jnp.float32)
+    src_mass = jnp.asarray(mass, jnp.float32)
+    src_idx = jnp.full((S,), -1, jnp.int32)
+    mask = jnp.ones((C, S), bool)
+
+    # fp64 reference
+    d = src[None, None] - np.asarray(tgt_pos, np.float64)[:, :, None]
+    r = np.linalg.norm(d, axis=-1)
+    pot_ref = -(mass[None, None] / r).sum(-1)
+
+    errs = {}
+    for comp in (False, True):
+        _, p1 = pk.eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass,
+                                     src_idx, mask, 0.0, 1.0, block=128,
+                                     interpret=True, compensated=comp)
+        _, p2 = xk.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass,
+                               src_idx, mask, 0.0, 1.0, block=128,
+                               compensated=comp)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   rtol=1e-6)
+        errs[comp] = np.abs(np.asarray(p1, np.float64) - pot_ref).max()
+    assert errs[True] <= errs[False]
+
+
 def test_pallas_block_skip_correctness(rng):
     # counts much smaller than caps: skipped blocks must not change sums
     (tgt_pos, tgt_idx, m_pos, m_mass, m_cnt, p_pos, p_mass, p_idx,

@@ -69,7 +69,7 @@ def test_mask_mass_partition():
     cfg = TreeConfig(max_depth=8, max_leaf_n=16, ncrit=64, tile_chunk=8,
                      p2p_leaf_cap=2048)
     td = build.build_tree(pos, mass, cfg)
-    tiles_pos, tiles_idx, blo, bhi = engine._gather_tiles(td, cfg)
+    tiles_pos, tiles_idx, blo, bhi, _tcell = engine._gather_tiles(td, cfg)
     total = float(np.asarray(mass, np.float64).sum())
     for chunk in range(blo.shape[0]):
         th = jnp.asarray(0.6, jnp.float32)
