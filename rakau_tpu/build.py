@@ -152,27 +152,35 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
     # Per-particle deepest splitting level (for leaves) and deepest
     # >ncrit level (for tile groups): counts are non-increasing in level,
     # so one forward cummax + one backward cummin per level suffice.
-    def level_counts(l):
-        is_head = (pidx == 0) | (cpl < l)
-        L = jax.lax.cummax(jnp.where(is_head, pidx, -1))
-        nxt = jnp.where(is_head, pidx, n)
-        nxt = jnp.concatenate([nxt[1:], jnp.full(1, n, I32)])
-        R = jnp.flip(jax.lax.cummin(jnp.flip(nxt)))
-        return L, R, R - L
+    # Levels are processed in BATCHED groups (one [G, N] multi-row scan
+    # instead of G sequential [N] scans — the sequential per-level loop
+    # was ~40 ms of device time at 1M); group size is memory-capped so
+    # 64M-particle builds stay within HBM.
+    lgroup = max(1, min(depth + 1, (64 << 20) // max(n, 1)))
 
-    def passA(l, carry):
-        s_leaf, s_grp = carry
-        _, _, cnt = level_counts(l)
-        s_leaf = jnp.where((cnt > cfg.max_leaf_n) & (l < depth), l, s_leaf)
-        s_grp = jnp.where(cnt > cfg.ncrit, l, s_grp)
-        return s_leaf, s_grp
+    def level_counts_batch(ls):
+        """ls [G] levels -> (R [G, N], cnt [G, N])."""
+        is_head = (pidx[None, :] == 0) | (cpl[None, :] < ls[:, None])
+        L = jax.lax.cummax(jnp.where(is_head, pidx[None, :], -1), axis=1)
+        nxt = jnp.where(is_head, pidx[None, :], n)
+        nxt = jnp.concatenate(
+            [nxt[:, 1:], jnp.full((ls.shape[0], 1), n, I32)], axis=1)
+        R = jnp.flip(jax.lax.cummin(jnp.flip(nxt, 1), axis=1), 1)
+        return R, R - L
 
     # carry init derives from cpl (not a fresh constant) so that under
     # shard_map the "varying manual axes" of input and output carries
     # match; XLA constant-folds the arithmetic anyway.
     init_m1 = cpl * 0 - 1
-    s_leaf, s_grp = jax.lax.fori_loop(
-        0, depth + 1, passA, (init_m1, init_m1))
+    s_leaf, s_grp = init_m1, init_m1
+    for l0 in range(0, depth + 1, lgroup):
+        ls = jnp.arange(l0, min(l0 + lgroup, depth + 1), dtype=I32)
+        R, cnt = level_counts_batch(ls)
+        lcol = ls[:, None]
+        s_leaf = jnp.maximum(s_leaf, jnp.max(jnp.where(
+            (cnt > cfg.max_leaf_n) & (lcol < depth), lcol, -1), axis=0))
+        s_grp = jnp.maximum(s_grp, jnp.max(jnp.where(
+            cnt > cfg.ncrit, lcol, -1), axis=0))
     lam = jnp.clip(s_leaf + 1, 0, depth)       # leaf level per particle
     glvl = jnp.maximum(s_grp, 0)               # tile-group level
 
@@ -208,17 +216,18 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
     node_valid = jnp.concatenate([jnp.ones(1, bool), svalid])
     n_nodes = m1 + 1
 
-    # ---- 4. per-node counts via per-level boundary scans --------------
-    def passB(l, node_cnt):
-        _, R, _ = level_counts(l)
-        mask = node_valid & (node_level == l)
-        b = node_begin
-        r = R[jnp.clip(b, 0, n - 1)]
-        return jnp.where(mask, r - b, node_cnt)
-
+    # ---- 4. per-node counts via (batched) per-level boundary scans ----
     node_cnt = jnp.full(M, 0, I32) + init_m1[0] + 1  # varying zero
     node_cnt = node_cnt.at[0].set(n)  # root (single-element update)
-    node_cnt = jax.lax.fori_loop(1, depth + 1, passB, node_cnt)
+    bc = jnp.clip(node_begin, 0, n - 1)
+    for l0 in range(1, depth + 1, lgroup):
+        ls = jnp.arange(l0, min(l0 + lgroup, depth + 1), dtype=I32)
+        R, _ = level_counts_batch(ls)
+        g = ls.shape[0]
+        inb = node_valid & (node_level >= l0) & (node_level < l0 + g)
+        flat = jnp.clip(node_level - l0, 0, g - 1) * n + bc
+        r = R.reshape(-1)[flat]
+        node_cnt = jnp.where(inb, r - node_begin, node_cnt)
     node_end = node_begin + node_cnt
 
     # leaf flag: node level equals its head particle's leaf level

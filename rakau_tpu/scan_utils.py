@@ -110,11 +110,22 @@ def searchsorted_rows(a, v):
 
 def compact_indices(mask, cap: int):
     """Left-compact the True positions of mask [..., K] into [..., cap]
-    index arrays (K for padding), plus counts [...]. Scatter-free:
-    cumsum + batched binary search."""
+    index arrays (K for padding), plus counts [...].
+
+    1-D fast path: one K-sized scatter (each True element writes its own
+    compacted slot — slots are unique, overflow/False land in a dump row;
+    measured cheaper than the 17-step binary search for K ~ 1e5).
+    Batched rows keep the cumsum + binary-search form (scatter rows would
+    need flattened-index arithmetic with no measured win)."""
     K = mask.shape[-1]
     csum = jnp.cumsum(mask.astype(I32), axis=-1)
     cnt = csum[..., -1]
+    if mask.ndim == 1:
+        pos = jnp.where(mask, csum - 1, cap)
+        pos = jnp.minimum(pos, cap)
+        idx = jnp.full(cap + 1, K, I32).at[pos].set(
+            jnp.arange(K, dtype=I32), mode="drop")[:cap]
+        return idx, cnt
     tgt = jnp.arange(1, cap + 1, dtype=I32)
     tgt = jnp.broadcast_to(tgt, mask.shape[:-1] + (cap,))
     idx = searchsorted_rows(csum, tgt)

@@ -52,35 +52,59 @@ def _point_dist2(lo, hi, p):
 
 
 class TraversalTables(NamedTuple):
-    """Node fields packed into row-gatherable tables (a row gather costs
-    ~7 ns/ROW on this platform vs ~10 ns/ELEMENT for separate field
-    gathers — packing is a ~7x traversal saving).
+    """Node fields packed into row-gatherable tables (one [K, W] row
+    gather per round is ~an order cheaper than W separate field gathers;
+    the per-round [8192, W] gather is the round loop's top cost, so W is
+    squeezed to 8).
 
-    ff [M, 12] f32: com_x..com_z (padded to 3), mass, size, thresh_extra
-    (bh_geom delta or 0), leaf flag, node level, cell_x..cell_z at the
-    node's own level (exact in f32: coords < 2^21 < 2^24), unused pad.
-    ii [M, 2] i32: child_begin, child_count."""
+    ff [M, 8] f32: com_x..com_z (padded to 3), mass, size,
+    level + 64*leaf_flag, packed effective cell (cell coords at
+    min(level, L0), D fields of L0 bits each — exact in f32: <= 18 bits),
+    bh_geom delta (or 0).
+    ii [M, 2] i32: child_begin, child_count.
+    nm [M, 4] f32: com (padded to 3) + mass — materialization row gather.
+    pm [N, 4] f32: particle pos (padded to 3) + mass — P2P row gather."""
     ff: jnp.ndarray
     ii: jnp.ndarray
+    nm: jnp.ndarray
+    pm: jnp.ndarray
+
+
+def _grid_l0(cfg: TreeConfig, n: int) -> int:
+    if cfg.farfield != "grid":
+        return 0
+    from .grid import effective_grid_level
+    return effective_grid_level(cfg, n)
 
 
 def make_tables(td: TreeData, cfg: TreeConfig) -> TraversalTables:
     dtype = td.pos.dtype
     M = td.node_level.shape[0]
+    n = td.pos.shape[0]
     size = td.box_size * jnp.exp2(-td.node_level.astype(dtype))
     D = td.pos.shape[1]
+    L0 = _grid_l0(cfg, n)
+    # effective cell at min(level, L0), packed D x L0-bit fields
+    sh = jnp.maximum(td.node_level - L0, 0)
+    cpack = jnp.zeros(M, I32)
+    for d in range(D):
+        cpack = cpack | ((td.node_cell[:, d] >> sh) << (d * L0))
     cols = [td.node_com[:, d] for d in range(D)]
     cols += [jnp.zeros(M, dtype)] * (3 - D)
     cols += [td.node_mass, size,
+             (td.node_level + 64 * td.node_is_leaf.astype(I32)
+              ).astype(dtype),
+             cpack.astype(dtype),
              td.node_delta if cfg.mac == MAC_BH_GEOM
-             else jnp.zeros(M, dtype),
-             td.node_is_leaf.astype(dtype),
-             td.node_level.astype(dtype)]
-    cols += [td.node_cell[:, d].astype(dtype) for d in range(D)]
-    cols += [jnp.zeros(M, dtype)] * (3 - D) + [jnp.zeros(M, dtype)]
+             else jnp.zeros(M, dtype)]
     ff = jnp.stack(cols, axis=1)
     ii = jnp.stack([td.node_child_begin, td.node_child_count], axis=1)
-    return TraversalTables(ff=ff, ii=ii)
+    nm = jnp.concatenate(
+        [ff[:, :3], td.node_mass[:, None]], axis=1)
+    pmc = [td.pos[:, d] for d in range(D)]
+    pmc += [jnp.zeros(n, dtype)] * (3 - D) + [td.mass]
+    pm = jnp.stack(pmc, axis=1)
+    return TraversalTables(ff=ff, ii=ii, nm=nm, pm=pm)
 
 
 def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
@@ -129,22 +153,25 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
         com = row[:, :D]
         mass = row[:, 3]
         size = row[:, 4]
-        extra = row[:, 5]
-        leaf = row[:, 6] > 0.5
+        lvl_leaf = row[:, 5].astype(I32)
+        leaf = lvl_leaf >= 64
+        extra = row[:, 7]
         d2 = _point_dist2(lo, hi, com)                  # [C, K]
         thresh = size * theta_inv + extra
         acc = d2 > (thresh * thresh)[None, :]
         use = par_active_kc.T & valid[None, :]          # [C, K]
         if use_grid:
-            lvl = row[:, 7].astype(I32)                 # [K]
-            ncell = row[:, 8:8 + D].astype(I32)         # [K, D]
-            # compare at l_eff = min(node level, L0)
-            sh_n = jnp.maximum(lvl - L0, 0)             # node deeper: >> to L0
-            sh_t = jnp.maximum(L0 - lvl, 0)             # node shallower
-            ncell_e = ncell >> sh_n[:, None]            # [K, D]
-            tcell_e = (tile_cell[:, None, :] >> sh_t[None, :, None])
-            sep = jnp.max(jnp.abs(ncell_e[None, :, :] - tcell_e),
-                          axis=-1)                      # [C, K]
+            lvl = lvl_leaf & 63                         # [K]
+            cp = row[:, 6].astype(I32)                  # packed eff cell
+            # node cell already at l_eff = min(level, L0); shift the tile
+            # cell down when the node is shallower
+            sh_t = jnp.maximum(L0 - lvl, 0)             # [K]
+            fmask = (1 << L0) - 1
+            sep = jnp.zeros((C, K), I32)
+            for d in range(D):
+                nc = (cp >> (d * L0)) & fmask           # [K]
+                tc = tile_cell[:, None, d] >> sh_t[None, :]
+                sep = jnp.maximum(sep, jnp.abs(nc[None, :] - tc))
             use = use & (sep < 3)                       # covered -> drop
             acc = acc & (lvl >= L0)[None, :]            # never accept above
         accepted = acc & use & (mass > 0)[None, :]
@@ -176,8 +203,8 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     f_max = jnp.maximum(cnt0, 1 + vary0)
     ovf_frontier = vary0 > 0
 
-    def round_body(r, carry):
-        (frontier, f_cnt, f_active, m2p_stack, p2p_stack, id_stack,
+    def round_body(carry):
+        (r, frontier, f_cnt, f_active, m2p_stack, p2p_stack, id_stack,
          ovf_frontier, f_max) = carry
         fvalid = jnp.arange(fcap, dtype=I32) < f_cnt
         fr = jnp.where(fvalid, frontier, 0)
@@ -190,12 +217,13 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
         ids = jnp.where(kval, kids, -1)
         par_active = jnp.repeat(f_active, k8, axis=0)   # [K, C]
         m2p_m, p2p_m, next_a = classify(ids, par_active)
+        z = jnp.zeros((), I32)
         m2p_stack = jax.lax.dynamic_update_slice(
-            m2p_stack, m2p_m[None], (r, 0, 0))
+            m2p_stack, m2p_m[None], (r, z, z))
         p2p_stack = jax.lax.dynamic_update_slice(
-            p2p_stack, p2p_m[None], (r, 0, 0))
+            p2p_stack, p2p_m[None], (r, z, z))
         id_stack = jax.lax.dynamic_update_slice(
-            id_stack, ids[None], (r, 0))
+            id_stack, ids[None], (r, z))
         f_sel = jnp.any(next_a, axis=1)
         idxs, cnt = su.compact_indices(f_sel, fcap)
         idxs_c = jnp.clip(idxs, 0, K - 1)
@@ -203,13 +231,16 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
         f_active = next_a[idxs_c] & (idxs < K)[:, None]
         ovf_frontier = ovf_frontier | (cnt > fcap)
         f_max = jnp.maximum(f_max, cnt)
-        return (frontier, jnp.minimum(cnt, fcap), f_active, m2p_stack,
-                p2p_stack, id_stack, ovf_frontier, f_max)
+        return (r + 1, frontier, jnp.minimum(cnt, fcap), f_active,
+                m2p_stack, p2p_stack, id_stack, ovf_frontier, f_max)
 
-    carry = (frontier, f_cnt, f_active, m2p_stack, p2p_stack, id_stack,
-             ovf_frontier, f_max)
-    carry = jax.lax.fori_loop(1, R, round_body, carry)
-    (frontier, f_cnt, f_active, m2p_stack, p2p_stack, id_stack,
+    # early exit once the frontier drains (shallow chunks stop in a few
+    # rounds instead of always paying max_depth of them)
+    carry = (jnp.ones((), I32) + vary0, frontier, f_cnt, f_active,
+             m2p_stack, p2p_stack, id_stack, ovf_frontier, f_max)
+    carry = jax.lax.while_loop(
+        lambda c: (c[0] < R) & (c[2] > 0), round_body, carry)
+    (_, frontier, f_cnt, f_active, m2p_stack, p2p_stack, id_stack,
      ovf_frontier, f_max) = carry
 
     # ---- materialize the union ----------------------------------------
@@ -222,13 +253,21 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     sentinel = jnp.asarray(4.0, dtype) * td.box_size
     ucap = cfg.m2p_cap
 
-    # M2P rows: nodes accepted by >= 1 tile
+    # M2P rows: nodes accepted by >= 1 tile. Rows are re-sorted by the
+    # node's Morton position (node_begin) before the gathers: Morton-
+    # contiguous tiles then see their active sources CLUSTERED, so the
+    # kernel's per-tile active-block lists shrink ~4x (the BFS level-
+    # major compaction order scatters a tile's actives across the row).
     uidx, ucnt = su.compact_indices(any_m2p, ucap)
     uidx_c = jnp.clip(uidx, 0, R * K - 1)
     uvalid = uidx < R * K
-    un_ids = jnp.where(uvalid, ids_flat[uidx_c], 0)
-    m_pos = jnp.where(uvalid[:, None], td.node_com[un_ids], sentinel)
-    m_mass = jnp.where(uvalid, td.node_mass[un_ids], 0.0)
+    un_ids0 = jnp.where(uvalid, ids_flat[uidx_c], 0)
+    ukey = jnp.where(uvalid, td.node_begin[un_ids0], n)
+    _, uidx_c, un_ids, uvalid = jax.lax.sort(
+        (ukey, uidx_c, un_ids0, uvalid), num_keys=1)
+    m_row = tables.nm[un_ids]                            # one row gather
+    m_pos = jnp.where(uvalid[:, None], m_row[:, :D], sentinel)
+    m_mass = jnp.where(uvalid, m_row[:, 3], 0.0)
     m_idx = jnp.full(ucap, -1, I32)
     m_mask = m2p_flat[uidx_c] & uvalid[:, None]          # [ucap, C]
     ovf_uni = ucnt > ucap
@@ -239,7 +278,13 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     lidx, lcnt = su.compact_indices(any_p2p, lcap)
     lidx_c = jnp.clip(lidx, 0, R * K - 1)
     lvalid = lidx < R * K
-    lf_ids = jnp.where(lvalid, ids_flat[lidx_c], 0)
+    lf_ids0 = jnp.where(lvalid, ids_flat[lidx_c], 0)
+    # spatial re-sort (see M2P above): the expanded particle rows then
+    # form one globally Morton-ordered stream (particles within a leaf
+    # are already Morton-contiguous)
+    lkey = jnp.where(lvalid, td.node_begin[lf_ids0], n)
+    _, lidx_c, lf_ids, lvalid = jax.lax.sort(
+        (lkey, lidx_c, lf_ids0, lvalid), num_keys=1)
     ovf_leaf = lcnt > lcap
     lb = jnp.where(lvalid, td.node_begin[lf_ids], 0)
     lc = jnp.where(lvalid, td.node_end[lf_ids] - td.node_begin[lf_ids], 0)
@@ -257,8 +302,9 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     row_c = jnp.clip(row, 0, lcap - 1)
     pidx = jnp.where(rvalid, lb[row_c] + (kq - offs[row_c]), -1)
     pidx_c = jnp.clip(pidx, 0, n - 1)
-    p_pos = jnp.where(rvalid[:, None], td.pos[pidx_c], sentinel)
-    p_mass = jnp.where(rvalid, td.mass[pidx_c], 0.0)
+    p_row = tables.pm[pidx_c]                            # one row gather
+    p_pos = jnp.where(rvalid[:, None], p_row[:, :D], sentinel)
+    p_mass = jnp.where(rvalid, p_row[:, 3], 0.0)
     leaf_mask = p2p_flat[lidx_c] & lvalid[:, None]       # [lcap, C]
     p_mask = leaf_mask[row_c] & rvalid[:, None]          # [pcap, C]
     if use_grid:
