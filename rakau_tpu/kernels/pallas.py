@@ -401,7 +401,7 @@ def _two_sum(a, b):
 
 
 def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
-                         compensated=False):
+                         compensated=False, subblock=0):
     """Fused shared-candidate kernel: grid (C,) — one step per tile.
 
     The whole shared source row stays VMEM-resident across the grid
@@ -411,6 +411,13 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
     (the ~25-60us/step floor that bounded the blocked variant) nor VPU
     work. Per-tile masks ride along as one f32 row and fold into the
     source masses.
+
+    With `subblock` > 0 the id list is at subblock granularity and each
+    compute step assembles block//subblock dynamic lane slices into one
+    dense (T, block) panel — active sources are scattered through the
+    shared row (a union row serves only a few of the C tiles), so the
+    finer selection raises in-step density ~2-3x at full step width.
+    Padding ids may point at any subblock whose mask row is zero.
 
     refs: tgt planes x ndim + tgt_idx  [1,T,1],
           src planes x ndim + mass + idx [1,1,S] (whole row),
@@ -430,12 +437,28 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
 
     def body(k, carry):
         accs, pot, comp = carry
-        off = pl.multiple_of(ids_ref[c, k] * block, block)
-        srows = [src_refs[d][0, :, pl.ds(off, block)]
-                 for d in range(ndim)]                  # (1, B)
-        m = src_refs[ndim][0, :, pl.ds(off, block)]
-        si = src_refs[ndim + 1][0, :, pl.ds(off, block)]
-        mk = mask_ref[0, :, pl.ds(off, block)]
+        if subblock:
+            nsub = block // subblock
+
+            def asm(ref):
+                parts = []
+                for j in range(nsub):
+                    off = pl.multiple_of(
+                        ids_ref[c, k * nsub + j] * subblock, subblock)
+                    parts.append(ref[0, :, pl.ds(off, subblock)])
+                return jnp.concatenate(parts, axis=-1)  # (1, block)
+
+            srows = [asm(src_refs[d]) for d in range(ndim)]
+            m = asm(src_refs[ndim])
+            si = asm(src_refs[ndim + 1])
+            mk = asm(mask_ref)
+        else:
+            off = pl.multiple_of(ids_ref[c, k] * block, block)
+            srows = [src_refs[d][0, :, pl.ds(off, block)]
+                     for d in range(ndim)]              # (1, B)
+            m = src_refs[ndim][0, :, pl.ds(off, block)]
+            si = src_refs[ndim + 1][0, :, pl.ds(off, block)]
+            mk = mask_ref[0, :, pl.ds(off, block)]
         dxs = []
         r2 = None
         for d in range(ndim):
@@ -477,15 +500,22 @@ FUSED_VMEM_SRC_LIMIT = 400_000  # source entries
 
 def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
                       eps, G, block: int = None, interpret: bool = False,
-                      compensated: bool = False):
+                      compensated: bool = False, subblock: int = None):
     """Fused shared-candidate evaluation (see _shared_fused_kernel)."""
     import os
     if block is None:
         block = int(os.environ.get("RAKAU_PALLAS_BLOCK", 1024))
+    if subblock is None:
+        subblock = int(os.environ.get("RAKAU_PALLAS_SUBBLOCK", 0))
     C, T, D = tgt_pos.shape
     S0 = src_pos.shape[0]
     block = min(block, max(128, S0))
-    nb = -(-S0 // block)
+    if subblock >= block or (subblock and block % subblock):
+        subblock = 0
+    # with subblock selection, guarantee at least one fully-dead subblock
+    # (padding ids point there)
+    want = S0 + (subblock if subblock else 0)
+    nb = -(-want // block)
     pad = nb * block - S0
     S = nb * block
     if pad:
@@ -495,10 +525,16 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
         src_idx = jnp.pad(src_idx, (0, pad), constant_values=-1)
         mask = jnp.pad(mask, ((0, 0), (0, pad)))
     maskf = mask.astype(jnp.float32)
-    blk_any = maskf.reshape(C, nb, block).sum(axis=2) > 0     # [C, nb]
     from .. import scan_utils as su
-    ids, cnt = su.compact_indices(blk_any, nb)                # [C, nb], [C]
-    ids = jnp.minimum(ids, nb - 1).astype(jnp.int32)
+    gran = subblock if subblock else block
+    ng = S // gran
+    blk_any = maskf.reshape(C, ng, gran).sum(axis=2) > 0      # [C, ng]
+    ids, cnt = su.compact_indices(blk_any, ng)                # [C, ng], [C]
+    # padding entries -> the last subblock, which is all-padding (dead)
+    ids = jnp.minimum(ids, ng - 1).astype(jnp.int32)
+    if subblock:
+        nsub = block // subblock
+        cnt = -(-cnt // nsub)                                 # steps
     cnt = cnt.astype(jnp.int32)
     eps2 = jnp.asarray([jnp.asarray(eps, jnp.float32) ** 2], jnp.float32)
 
@@ -527,7 +563,7 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
         out_specs=[tspec() for _ in range(D + 1)],
     )
     kernel = functools.partial(_shared_fused_kernel, ndim=D, block=block,
-                               compensated=compensated)
+                               compensated=compensated, subblock=subblock)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
