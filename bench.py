@@ -48,7 +48,7 @@ def main():
         max_depth=int(os.environ.get("RAKAU_BENCH_DEPTH", 14)),
         max_leaf_n=int(os.environ.get("RAKAU_BENCH_LEAF", 32)),
         ncrit=int(os.environ.get("RAKAU_BENCH_NCRIT", 512)),
-        tile_chunk=int(os.environ.get("RAKAU_BENCH_CHUNK", 64)),
+        tile_chunk=int(os.environ.get("RAKAU_BENCH_CHUNK", 32)),
         m2p_cap=int(os.environ.get("RAKAU_BENCH_M2P", 8192)),
         p2p_leaf_cap=int(os.environ.get("RAKAU_BENCH_P2PLEAF", 2048)),
         p2p_src_cap=int(os.environ.get("RAKAU_BENCH_P2PSRC", 65536)),
