@@ -62,11 +62,35 @@ def dd_cumsum(v):
     ~2^-48 relative error in fp32, so segment sums via prefix differences
     keep full fp32 accuracy even when the segment is tiny relative to the
     running total (the cancellation that makes a plain fp32 cumsum
-    unusable for this)."""
+    unusable for this).
+
+    Large inputs run as a two-level chunked scan: XLA:TPU's compile time
+    for a custom-combinator associative_scan over one giant 1-D array
+    grows ~quadratically with length (measured 59 s @1M, 216 s @2M,
+    >10 min @4M — it was the whole of the tree build's compile cost);
+    scanning [rows, 8192] lanes plus a small row-offset scan compiles in
+    seconds and does the same arithmetic in a different association
+    order (still ~2^-48)."""
     v = v.astype(jnp.float32)
+    n = v.shape[0]
+    C = 8192
+    if n <= 2 * C:
+        return jax.lax.associative_scan(
+            lambda x, y: _dd_add(x, y), (v, jnp.zeros_like(v)))
+    nb = -(-n // C)
+    pad = nb * C - n
+    if pad:
+        v = jnp.concatenate([v, jnp.zeros(pad, v.dtype)])
+    x2 = v.reshape(nb, C)
     hi, lo = jax.lax.associative_scan(
-        lambda x, y: _dd_add(x, y), (v, jnp.zeros_like(v)))
-    return hi, lo
+        lambda x, y: _dd_add(x, y), (x2, jnp.zeros_like(x2)), axis=1)
+    th, tl = hi[:, -1], lo[:, -1]
+    ph, plo = jax.lax.associative_scan(
+        lambda x, y: _dd_add(x, y), (th, tl))
+    ph = jnp.concatenate([jnp.zeros(1, v.dtype), ph[:-1]])
+    plo = jnp.concatenate([jnp.zeros(1, v.dtype), plo[:-1]])
+    oh, ol = _dd_add((hi, lo), (ph[:, None], plo[:, None]))
+    return oh.reshape(-1)[:n], ol.reshape(-1)[:n]
 
 
 def segment_sum_from_prefix(hi, lo, begin, end, dd_out: bool = False):
