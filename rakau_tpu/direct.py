@@ -72,6 +72,10 @@ def direct_acc_pot_np(pos, mass, eps=0.0, G=1.0, targets=None,
     acc = np.zeros((len(targets), ndim))
     pot = np.zeros(len(targets))
     e2 = float(eps) ** 2
+    # cap the [chunk, N, D] pairwise panel at ~1.5 GB of float64
+    # intermediates (an 8M-source run with the default chunk of 1024
+    # peaks >100 GB host RSS and gets OOM-killed)
+    chunk = max(1, min(chunk, (1 << 26) // max(n, 1)))
     for s in range(0, len(targets), chunk):
         t = targets[s:s + chunk]
         d = pos[None, :, :] - pos[t][:, None, :]       # [c, N, D]
