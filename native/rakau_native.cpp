@@ -60,28 +60,54 @@ void morton_decode(int64_t n, int ndim, int depth, const uint64_t* codes,
 
 // ------------------------------------------------------------ radix sort
 // Indirect LSD radix sort of 64-bit keys, 8 bits per pass; writes the
-// sorting permutation into perm (int64). Parallel histogramming.
+// sorting permutation into perm (int64). Fully parallel: per-chunk
+// histograms, bucket-major exclusive prefix across chunks, then a
+// parallel stable scatter (each chunk owns disjoint output slots).
 void radix_argsort_u64(int64_t n, const uint64_t* keys, int64_t* perm) {
     std::vector<int64_t> idx(n), tmp(n);
+#pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; ++i) idx[i] = i;
     std::vector<uint64_t> k(keys, keys + n), ktmp(n);
 
+    int nthreads = 1;
+#ifdef _OPENMP
+    nthreads = omp_get_max_threads();
+#endif
+    const int64_t chunk = (n + nthreads - 1) / nthreads;
+    std::vector<int64_t> hist(static_cast<size_t>(nthreads) * 256);
+
     for (int pass = 0; pass < 8; ++pass) {
         const int shift = pass * 8;
-        int64_t hist[256] = {0};
-        for (int64_t i = 0; i < n; ++i)
-            ++hist[(k[i] >> shift) & 0xff];
+        std::fill(hist.begin(), hist.end(), 0);
+#pragma omp parallel for schedule(static)
+        for (int t = 0; t < nthreads; ++t) {
+            const int64_t lo = t * chunk;
+            const int64_t hi = std::min(n, lo + chunk);
+            int64_t* h = hist.data() + static_cast<size_t>(t) * 256;
+            for (int64_t i = lo; i < hi; ++i)
+                ++h[(k[i] >> shift) & 0xff];
+        }
+        // exclusive prefix in (bucket, chunk) order preserves stability
         int64_t sum = 0;
         for (int b = 0; b < 256; ++b) {
-            int64_t h = hist[b];
-            hist[b] = sum;
-            sum += h;
+            for (int t = 0; t < nthreads; ++t) {
+                int64_t& h = hist[static_cast<size_t>(t) * 256 + b];
+                const int64_t v = h;
+                h = sum;
+                sum += v;
+            }
         }
-        for (int64_t i = 0; i < n; ++i) {
-            const int b = (k[i] >> shift) & 0xff;
-            ktmp[hist[b]] = k[i];
-            tmp[hist[b]] = idx[i];
-            ++hist[b];
+#pragma omp parallel for schedule(static)
+        for (int t = 0; t < nthreads; ++t) {
+            const int64_t lo = t * chunk;
+            const int64_t hi = std::min(n, lo + chunk);
+            int64_t* h = hist.data() + static_cast<size_t>(t) * 256;
+            for (int64_t i = lo; i < hi; ++i) {
+                const int b = (k[i] >> shift) & 0xff;
+                ktmp[h[b]] = k[i];
+                tmp[h[b]] = idx[i];
+                ++h[b];
+            }
         }
         k.swap(ktmp);
         idx.swap(tmp);

@@ -93,7 +93,7 @@ def _gather_sources(td: TreeData, cfg: TreeConfig, il, dtype):
 
 def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
                 tpos, tidx, blo, bhi, tables=None, tcell=None,
-                Lgrid=None, extra=None):
+                Lgrid=None, extra=None, mode="both"):
     """Traversal + gather + kernel for one chunk of tiles (shared by the
     single-chip and sharded paths).
 
@@ -163,7 +163,8 @@ def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
                 [src_idx, jnp.full(extra[0].shape[0], -1, I32)], axis=0)
             mask = jnp.concatenate([mask, near_e], axis=1)
         acc, pot = dispatch.eval_shared(
-            cfg, tpos, tidx, src_pos, src_mass, src_idx, mask, eps, G)
+            cfg, tpos, tidx, src_pos, src_mass, src_idx, mask, eps, G,
+            mode=mode)
         if acc_l is not None:
             acc = acc + acc_l
             pot = pot + pot_l
@@ -180,7 +181,7 @@ def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
 
 
 def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0,
-              with_stats: bool = False, extra=None):
+              with_stats: bool = False, extra=None, mode: str = "both"):
     """Accelerations and potentials for all particles, Morton order.
 
     Returns (acc [N, D], pot [N], overflow [4] bool) and, with
@@ -199,7 +200,8 @@ def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0,
         acc, pot, ovf, mx = _eval_chunk(td, cfg, theta, eps, G, dtype,
                                         tpos, tidx, blo, bhi,
                                         tables=tables, tcell=tcell,
-                                        Lgrid=Lgrid, extra=extra)
+                                        Lgrid=Lgrid, extra=extra,
+                                        mode=mode)
         return acc, pot, tidx, ovf, mx
 
     acc, pot, tidx, ovf, mx = jax.lax.map(
@@ -271,9 +273,9 @@ def _grid_jit(td, cfg, eps):
     return _grid_farfield(td, cfg, eps)
 
 
-@partial(jax.jit, static_argnames=("cfg", "K"))
+@partial(jax.jit, static_argnames=("cfg", "K", "mode"))
 def _slice_query_jit(td, cfg, theta, eps, G, tiles, tables, Lgrid,
-                     start, K):
+                     start, K, mode="both"):
     tiles_pos, tiles_idx, box_lo, box_hi, tiles_cell = tiles
     dtype = td.pos.dtype
 
@@ -284,7 +286,7 @@ def _slice_query_jit(td, cfg, theta, eps, G, tiles, tables, Lgrid,
         tpos, tidx, blo, bhi, tcell = args
         return _eval_chunk(td, cfg, theta, eps, G, dtype, tpos, tidx,
                            blo, bhi, tables=tables, tcell=tcell,
-                           Lgrid=Lgrid)
+                           Lgrid=Lgrid, mode=mode)
 
     acc, pot, ovf, mx = jax.lax.map(
         chunk_fn, (sl(tiles_pos), sl(tiles_idx), sl(box_lo), sl(box_hi),
@@ -314,7 +316,7 @@ def _assemble_jit(td, cfg, acc_tiles, pot_tiles):
 
 
 def acc_pot_u_host(td, cfg: TreeConfig, theta, eps, G=1.0,
-                   slice_chunks: int = 32):
+                   slice_chunks: int = 32, mode: str = "both"):
     """Host-driven query: like acc_pot_u(with_stats=True) but each device
     dispatch covers at most `slice_chunks` tile chunks (watchdog-safe).
     Returns (acc, pot, ovf[4], maxima[3])."""
@@ -338,7 +340,7 @@ def acc_pot_u_host(td, cfg: TreeConfig, theta, eps, G=1.0,
     for s in range(0, n_live, K):
         start = min(s, n_live - K)  # final slice overlaps; results align
         a, p, o, m = _slice_query_jit(td, cfg, theta, eps, G, tiles,
-                                      tables, Lgrid, start, K)
+                                      tables, Lgrid, start, K, mode=mode)
         if start < s:  # trim the overlap of the final slice
             keep = n_live - s
             a, p = a[-keep:], p[-keep:]

@@ -3,10 +3,15 @@ backend choice behind rakau's heterogeneous dispatch, SURVEY.md C13-C15 —
 here it picks the pure-XLA reference kernels or the Pallas TPU kernels)."""
 from __future__ import annotations
 
+import logging
+
 import jax
 
 from ..config import TreeConfig
 from . import xla
+
+logger = logging.getLogger("rakau_tpu")
+_warned_fused_fallback = False
 
 
 def _on_tpu() -> bool:
@@ -17,9 +22,11 @@ def _on_tpu() -> bool:
 
 
 def eval_shared(cfg: TreeConfig, tgt_pos, tgt_idx, src_pos, src_mass,
-                src_idx, mask, eps, G):
+                src_idx, mask, eps, G, mode: str = "both"):
     """Shared-candidate evaluation (traversal2): sources common to the
-    chunk's tiles, per-tile mask planes."""
+    chunk's tiles, per-tile mask planes. mode: "both" | "acc" | "pot"
+    (accs-only skips the potential reduction; pots-only skips the
+    acceleration reductions — the skipped output is returned as zeros)."""
     backend = cfg.kernel_backend
     if backend == "auto":
         backend = "pallas" if _on_tpu() else "xla"
@@ -32,11 +39,22 @@ def eval_shared(cfg: TreeConfig, tgt_pos, tgt_idx, src_pos, src_mass,
         if fused:
             return pk.eval_shared_fused(tgt_pos, tgt_idx, src_pos,
                                         src_mass, src_idx, mask, eps, G,
-                                        compensated=comp)
+                                        compensated=comp, mode=mode)
+        if src_pos.shape[0] > pk.FUSED_VMEM_SRC_LIMIT:
+            # Surface the VMEM-driven perf cliff instead of silently
+            # taking the slower blocked kernel (VERDICT r1).
+            global _warned_fused_fallback
+            if not _warned_fused_fallback:
+                _warned_fused_fallback = True
+                logger.warning(
+                    "pallas: source row %d exceeds FUSED_VMEM_SRC_LIMIT"
+                    " (%d); falling back to the slower blocked kernel."
+                    " Lower m2p_cap/p2p_src_cap to restore the fused"
+                    " path.", src_pos.shape[0], pk.FUSED_VMEM_SRC_LIMIT)
         return pk.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass,
                               src_idx, mask, eps, G)
     return xla.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx,
-                           mask, eps, G, compensated=comp)
+                           mask, eps, G, compensated=comp, mode=mode)
 
 
 def eval_tiles(cfg: TreeConfig, tgt_pos, tgt_idx,

@@ -401,7 +401,7 @@ def _two_sum(a, b):
 
 
 def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
-                         compensated=False, subblock=0):
+                         compensated=False, subblock=0, mode="both"):
     """Fused shared-candidate kernel: grid (C,) — one step per tile.
 
     The whole shared source row stays VMEM-resident across the grid
@@ -470,18 +470,35 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
         dead = (si == ti) | (r2 <= 0.0)
         inv_r = jnp.where(dead, 0.0, inv_r)
         w = (m * mk) * inv_r
-        w3 = w * inv_r * inv_r
-        parts = [jnp.sum(w3 * dx, axis=1, keepdims=True) for dx in dxs]
-        parts.append(-jnp.sum(w, axis=1, keepdims=True))
+        # mode specialization: accs-only skips the potential reduction,
+        # pots-only skips w3 and the ndim acceleration reductions
+        # (reference parity gap "pots_u computes both and discards",
+        # VERDICT r1 item 9).
+        parts = []
+        if mode in ("both", "acc"):
+            w3 = w * inv_r * inv_r
+            parts += [jnp.sum(w3 * dx, axis=1, keepdims=True)
+                      for dx in dxs]
+        else:
+            parts += [None] * ndim
+        if mode in ("both", "pot"):
+            parts.append(-jnp.sum(w, axis=1, keepdims=True))
+        else:
+            parts.append(None)
         if compensated:
             new = []
             for i, (a, p) in enumerate(zip(accs + [pot], parts)):
+                if p is None:
+                    new.append(a)
+                    continue
                 s, e = _two_sum(a, p)
                 comp[i] = comp[i] + e
                 new.append(s)
             return new[:ndim], new[ndim], comp
-        accs = [a + p for a, p in zip(accs, parts[:ndim])]
-        return accs, pot + parts[ndim], comp
+        accs = [a if p is None else a + p
+                for a, p in zip(accs, parts[:ndim])]
+        pot = pot if parts[ndim] is None else pot + parts[ndim]
+        return accs, pot, comp
 
     acc0 = [jnp.zeros((T, 1), jnp.float32) for _ in range(ndim)]
     pot0 = jnp.zeros((T, 1), jnp.float32)
@@ -500,7 +517,8 @@ FUSED_VMEM_SRC_LIMIT = 400_000  # source entries
 
 def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
                       eps, G, block: int = None, interpret: bool = False,
-                      compensated: bool = False, subblock: int = None):
+                      compensated: bool = False, subblock: int = None,
+                      mode: str = "both"):
     """Fused shared-candidate evaluation (see _shared_fused_kernel)."""
     import os
     if block is None:
@@ -563,7 +581,8 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
         out_specs=[tspec() for _ in range(D + 1)],
     )
     kernel = functools.partial(_shared_fused_kernel, ndim=D, block=block,
-                               compensated=compensated, subblock=subblock)
+                               compensated=compensated, subblock=subblock,
+                               mode=mode)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

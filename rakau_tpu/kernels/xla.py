@@ -131,7 +131,8 @@ def _two_sum(a, b):
 
 
 def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
-                eps, G, block: int = 1024, compensated: bool = False):
+                eps, G, block: int = 1024, compensated: bool = False,
+                mode: str = "both"):
     """Shared-candidate evaluation: sources [S, ...] common to all C
     tiles, per-tile contribution mask [C, S] (traversal2). Direct
     per-component differences throughout (the mask mixes near and far
@@ -164,15 +165,25 @@ def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
         excl = idx[None, None, :] == tgt_idx[:, :, None]
         inv_r = jnp.where(excl | (r2 <= 0), 0.0, inv_r)
         w = (m[None, None, :] * mkb[:, None, :]) * inv_r
-        w3 = w * inv_r * inv_r
-        dpot = -jnp.sum(w, axis=-1)
-        dacc = jnp.stack([jnp.sum(w3 * dd, axis=-1) for dd in dds],
-                         axis=-1)
+        if mode in ("both", "acc"):
+            w3 = w * inv_r * inv_r
+            dacc = jnp.stack([jnp.sum(w3 * dd, axis=-1) for dd in dds],
+                             axis=-1)
+        else:
+            dacc = None
+        dpot = -jnp.sum(w, axis=-1) if mode in ("both", "pot") else None
         if compensated:
-            acc, ea = _two_sum(acc, dacc)
-            pot, ep = _two_sum(pot, dpot)
+            ea = ep = 0.0
+            if dacc is not None:
+                acc, ea = _two_sum(acc, dacc)
+            if dpot is not None:
+                pot, ep = _two_sum(pot, dpot)
             return (acc, pot, acc_c + ea, pot_c + ep), None
-        return (acc + dacc, pot + dpot, acc_c, pot_c), None
+        if dacc is not None:
+            acc = acc + dacc
+        if dpot is not None:
+            pot = pot + dpot
+        return (acc, pot, acc_c, pot_c), None
 
     init = (tgt_pos * 0, tgt_pos[..., 0] * 0,
             tgt_pos * 0, tgt_pos[..., 0] * 0)

