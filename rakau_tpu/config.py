@@ -75,11 +75,21 @@ class TreeConfig:
     # "grid" additionally computes everything beyond the 5^D-cell leaf-
     # grid neighborhood with dense stencil M2L (grid.py) so the walk only
     # resolves the near region ("local" rules apply inside it).
-    farfield: str = "local"  # "local" | "m2p" | "grid"
-    local_order: int = 3     # Taylor order of the potential (2 or 3)
-    # Leaf-grid level for farfield="grid" (None = auto from n/ncrit,
-    # memory-capped; grid.effective_grid_level). Static per config.
+    # "grid2" is the decoupled conv-M2L far field (grid2.py): per-
+    # particle leaf-cell L2P + in-kernel per-pair cell-separation
+    # masking, so the grid level is independent of tile size.
+    farfield: str = "local"  # "local" | "m2p" | "grid" | "grid2"
+    local_order: int = 3     # Taylor (local) order; grid/local <= 3,
+                             # grid2 supports 2..8
+    # Leaf-grid level for farfield="grid"/"grid2" (None = auto;
+    # grid.effective_grid_level / grid2.effective_grid_level).
     grid_level: Optional[int] = None
+    # grid2 knobs: multipole order of the conv M2L (None = local_order),
+    # minimum covered cell separation S (near field = (2S-1)^D cells),
+    # and the target mean particles/cell for the auto grid level.
+    grid_multipole_order: Optional[int] = None
+    grid_sep: int = 3
+    grid_occupancy: int = 32
     # Kernel accumulation: "fp32" or "compensated" (TwoSum across source
     # blocks — the TPU-native "mixed fp32/fp64 accumulation" of BASELINE
     # config #3; fp64 hardware accumulate does not exist on TPU).
@@ -111,9 +121,19 @@ class TreeConfig:
             raise ValueError("kernel_backend must be auto|xla|pallas")
         if self.traversal_mode not in ("shared", "lists"):
             raise ValueError("traversal_mode must be shared|lists")
-        if self.farfield not in ("local", "m2p", "grid"):
-            raise ValueError("farfield must be local|m2p|grid")
-        if self.local_order not in (2, 3):
+        if self.farfield not in ("local", "m2p", "grid", "grid2"):
+            raise ValueError("farfield must be local|m2p|grid|grid2")
+        if self.farfield == "grid2":
+            if not (2 <= self.local_order <= 8):
+                raise ValueError("grid2 local_order must be in [2, 8]")
+            gq = self.grid_multipole_order
+            if gq is not None and not (0 <= gq <= 8):
+                raise ValueError("grid_multipole_order must be in [0, 8]")
+            if self.grid_sep < 2:
+                raise ValueError("grid_sep must be >= 2")
+            if self.grid_occupancy < 1:
+                raise ValueError("grid_occupancy must be >= 1")
+        elif self.local_order not in (2, 3):
             raise ValueError("local_order must be 2 or 3")
         if self.local_gamma <= 1.0:
             raise ValueError("local_gamma must be > 1 (rho = 1/gamma < 1)")

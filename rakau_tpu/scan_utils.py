@@ -113,6 +113,19 @@ def segment_sum_from_prefix(hi, lo, begin, end, dd_out: bool = False):
     return jnp.where(nonempty, nh + nl, 0.0)
 
 
+def dd_cumsum_cols(v):
+    """dd_cumsum batched over columns: v [N, K] -> (hi, lo) [N, K]."""
+    return jax.vmap(dd_cumsum, in_axes=1, out_axes=1)(v)
+
+
+def segment_sum_from_prefix_cols(hi, lo, begin, end):
+    """segment_sum_from_prefix batched over columns of a [N, K] dd
+    prefix; begin/end shared across columns. Returns [len(begin), K]."""
+    return jax.vmap(segment_sum_from_prefix,
+                    in_axes=(1, 1, None, None), out_axes=1)(hi, lo,
+                                                           begin, end)
+
+
 # ------------------------------------------------------- compaction
 def searchsorted_rows(a, v):
     """Batched-rows searchsorted: a [..., K] sorted rows, v [..., Q]

@@ -1,0 +1,237 @@
+"""grid2 (decoupled conv-M2L far field): unit + bookkeeping tests.
+
+The load-bearing test is exactness of the coverage decomposition:
+far_field (all pairs with leaf-cell separation >= S) plus a brute-force
+near field (pairs with separation < S) must reproduce the direct sum to
+the expansion error, which at high order is driven to ~fp32 noise.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rakau_tpu import build, grid2, particles
+from rakau_tpu.config import TreeConfig
+from rakau_tpu.direct import direct_acc_pot_np
+
+
+def _td(rng, n=512, ndim=3, dtype="float32", clustered=False):
+    if clustered:
+        pos = np.concatenate([
+            rng.normal(size=(n // 2, ndim)) * 0.05 + 0.3,
+            rng.normal(size=(n - n // 2, ndim)) * 0.2 - 0.2,
+        ]).astype(dtype)
+    else:
+        pos = rng.uniform(-0.5, 0.5, size=(n, ndim)).astype(dtype)
+    mass = rng.uniform(0.5, 1.5, size=n).astype(dtype)
+    return jnp.asarray(pos), jnp.asarray(mass)
+
+
+def test_t_tensors_match_finite_diff(rng):
+    """T_gamma from the symbolic recursion == finite differences."""
+    d0 = np.asarray([0.31, -0.72, 0.55], np.float64)
+    eps = 0.17
+    order = 4
+    gammas, _, _ = grid2.multi_indices(3, order)
+    T = grid2.t_tensors(jnp.asarray(d0), eps, 3, order)
+    h = 1e-4
+
+    def deriv(dvec, g):
+        g = list(g)
+        for dim in range(3):
+            if g[dim] > 0:
+                g[dim] -= 1
+                dp = dvec.copy(); dp[dim] += h
+                dm = dvec.copy(); dm[dim] -= h
+                return (deriv(dp, g) - deriv(dm, g)) / (2 * h)
+        return float(1.0 / np.sqrt(np.dot(dvec, dvec) + eps ** 2))
+
+    for i, g in enumerate(gammas):
+        if sum(g) > 3:
+            continue
+        want = deriv(d0.copy(), g)
+        got = float(T[i])
+        assert abs(got - want) < 1e-3 * max(1.0, abs(want)), (g, got, want)
+
+
+def test_shift_matrix_m2m(rng):
+    """Parent moments via the shift matrix == direct recomputation."""
+    ndim, q = 3, 4
+    pts = jnp.asarray(rng.uniform(-0.2, 0.2, size=(40, ndim)))
+    m = jnp.asarray(rng.uniform(0.5, 1.0, size=40))
+    t = jnp.asarray([0.13, -0.25, 0.08], jnp.float64)
+    alphas, _, _ = grid2.multi_indices(ndim, q)
+
+    def moments(center):
+        d = pts - center
+        return jnp.stack([
+            jnp.sum(m * jnp.prod(d ** jnp.asarray(a, jnp.float64), axis=1))
+            for a in alphas])
+
+    Mc = moments(t)          # about child center t
+    Mp = moments(jnp.zeros(3, jnp.float64))   # about parent center 0
+    S = grid2.shift_matrix(t, ndim, q, "m2m")
+    np.testing.assert_allclose(np.asarray(S @ Mc), np.asarray(Mp),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_shift_matrix_l2l(rng):
+    """Recentred local expansion evaluates identically."""
+    ndim, p = 3, 4
+    betas, _, fact = grid2.multi_indices(ndim, p)
+    L = jnp.asarray(rng.normal(size=len(betas)))
+    t = jnp.asarray([0.05, -0.11, 0.07], jnp.float64)
+    S = grid2.shift_matrix(t, ndim, p, "l2l")
+    L2 = S @ L
+
+    def psi(Lc, s):
+        tot = 0.0
+        for i, b in enumerate(betas):
+            tot = tot + Lc[i] * np.prod(np.asarray(s) **
+                                        np.asarray(b)) / fact[i]
+        return tot
+
+    # psi_old(t + s') == psi_new(s') exactly for |t + s'| within order
+    sprime = np.asarray([0.02, 0.03, -0.01])
+    # polynomial identity must hold exactly (both are degree-p polys)
+    v_old = psi(np.asarray(L), np.asarray(t) + sprime)
+    v_new = psi(np.asarray(L2), sprime)
+    np.testing.assert_allclose(v_new, v_old, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_parity_conv_matches_bruteforce(rng, ndim):
+    """_parity_conv == explicit loop over stencil offsets with parity
+    masks (the grid.py scan formulation)."""
+    p = q = 2
+    sep = 3
+    L0 = 3
+    G = 1 << L0
+    NM = grid2.n_coeffs(ndim, q)
+    NL = grid2.n_coeffs(ndim, p)
+    M = jnp.asarray(rng.normal(size=(G ** ndim, NM)))
+    s_cell = 0.125
+    eps = 0.0
+    W = grid2.m2l_kernels(ndim, p, q, sep, s_cell, eps, jnp.float64)
+    out = grid2._parity_conv(M, W, ndim, G)
+
+    offs, bits = grid2.stencil_offsets(ndim, sep)
+    Mg = np.asarray(M).reshape((G,) * ndim + (NM,))
+    want = np.zeros((G,) * ndim + (NL,))
+    gammas_np = None
+    Tall = grid2.t_tensors(
+        jnp.asarray(-offs, jnp.float64) * s_cell, eps, ndim, p + q)
+    gpos, coef = grid2._m2l_index_maps(ndim, p, q)
+    K = np.asarray(Tall)[:, gpos.reshape(-1)].reshape(
+        offs.shape[0], NL, NM) * coef[None]
+    for t in np.ndindex(*(G,) * ndim):
+        bidx = 0
+        for d in range(ndim):
+            bidx |= (t[d] & 1) << d
+        for oi in range(offs.shape[0]):
+            if not ((bits[oi] >> bidx) & 1):
+                continue
+            s = tuple(t[d] + offs[oi, d] for d in range(ndim))
+            if any(c < 0 or c >= G for c in s):
+                continue
+            want[t] += K[oi] @ Mg[s]
+    np.testing.assert_allclose(np.asarray(out).reshape(want.shape), want,
+                               rtol=1e-8, atol=1e-10)
+
+
+def _near_bruteforce(pos, mass, cells, sep, eps, G=1.0):
+    """fp64 direct sum restricted to pairs with cell separation < sep."""
+    pos = np.asarray(pos, np.float64)
+    mass = np.asarray(mass, np.float64)
+    cells = np.asarray(cells)
+    n = pos.shape[0]
+    acc = np.zeros_like(pos)
+    pot = np.zeros(n)
+    csep = np.max(np.abs(cells[:, None, :] - cells[None, :, :]), axis=-1)
+    near = (csep < sep) & ~np.eye(n, dtype=bool)
+    for i in range(n):
+        js = np.nonzero(near[i])[0]
+        d = pos[js] - pos[i]
+        r2 = np.sum(d * d, axis=1) + eps ** 2
+        inv = 1.0 / np.sqrt(r2)
+        w = mass[js] * inv
+        acc[i] = G * np.sum((w / r2)[:, None] * d, axis=0)
+        pot[i] = -G * np.sum(w)
+    return acc, pot
+
+
+@pytest.mark.parametrize("clustered", [False, True])
+@pytest.mark.parametrize("eps", [0.0, 0.05])
+def test_far_field_bookkeeping_exact(rng, clustered, eps):
+    """far_field + brute-force near field == direct sum, to expansion
+    error (high order -> tight envelope). THE coverage test."""
+    n = 400
+    pos, mass = _td(rng, n=n, clustered=clustered)
+    cfg = TreeConfig(farfield="grid2", local_order=6,
+                     grid_multipole_order=6, grid_level=3,
+                     max_leaf_n=8, ncrit=32)
+    td = build.build_tree(pos, mass, cfg)
+    L0 = grid2.effective_grid_level(cfg, n)
+    assert L0 == 3
+    acc_f, pot_f = grid2.far_field(td, cfg, eps, 1.0)
+    cells = grid2.particle_cells(td.pos, td.box_size, cfg.max_depth, L0)
+    acc_n, pot_n = _near_bruteforce(td.pos, td.mass, cells,
+                                    cfg.grid_sep, eps)
+    acc = np.asarray(acc_f, np.float64) + acc_n
+    pot = np.asarray(pot_f, np.float64) + pot_n
+    acc_o, pot_o = direct_acc_pot_np(np.asarray(td.pos, np.float64),
+                                     np.asarray(td.mass, np.float64),
+                                     eps=eps)
+    scale = np.linalg.norm(acc_o, axis=1)
+    scale = np.where(scale > 0, scale, 1.0)
+    rel = np.linalg.norm(acc - acc_o, axis=1) / scale
+    rms = np.sqrt(np.mean(rel ** 2))
+    # order-6 two-sided expansion at sep>=3: far ~1e-5; fp32 pipeline
+    assert rms < 5e-5, rms
+    prel = np.abs(pot - pot_o) / np.maximum(np.abs(pot_o), 1e-12)
+    assert np.sqrt(np.mean(prel ** 2)) < 5e-5
+
+
+def test_far_field_order_ladder(rng):
+    """Higher order must monotonically (loosely) reduce the far error."""
+    n = 400
+    pos, mass = _td(rng, n=n)
+    errs = []
+    for order in (2, 4, 6):
+        cfg = TreeConfig(farfield="grid2", local_order=order,
+                         grid_multipole_order=order, grid_level=3,
+                         max_leaf_n=8, ncrit=32)
+        td = build.build_tree(pos, mass, cfg)
+        acc_f, _ = grid2.far_field(td, cfg, 0.0, 1.0)
+        cells = grid2.particle_cells(td.pos, td.box_size,
+                                     cfg.max_depth, 3)
+        acc_n, _ = _near_bruteforce(td.pos, td.mass, cells, 3, 0.0)
+        acc = np.asarray(acc_f, np.float64) + acc_n
+        acc_o, _ = direct_acc_pot_np(np.asarray(td.pos, np.float64),
+                                     np.asarray(td.mass, np.float64))
+        scale = np.linalg.norm(acc_o, axis=1)
+        scale = np.where(scale > 0, scale, 1.0)
+        errs.append(np.sqrt(np.mean(
+            (np.linalg.norm(acc - acc_o, axis=1) / scale) ** 2)))
+    assert errs[2] < errs[1] < errs[0]
+    assert errs[0] < 5e-2
+
+
+def test_grid2_2d(rng):
+    """2-D bookkeeping exactness."""
+    n = 300
+    pos, mass = _td(rng, n=n, ndim=2)
+    cfg = TreeConfig(ndim=2, farfield="grid2", local_order=6,
+                     grid_multipole_order=6, grid_level=3,
+                     max_leaf_n=8, ncrit=32)
+    td = build.build_tree(pos, mass, cfg)
+    acc_f, pot_f = grid2.far_field(td, cfg, 0.0, 1.0)
+    cells = grid2.particle_cells(td.pos, td.box_size, cfg.max_depth, 3)
+    acc_n, pot_n = _near_bruteforce(td.pos, td.mass, cells, 3, 0.0)
+    acc = np.asarray(acc_f, np.float64) + acc_n
+    acc_o, _ = direct_acc_pot_np(np.asarray(td.pos, np.float64),
+                                 np.asarray(td.mass, np.float64))
+    scale = np.linalg.norm(acc_o, axis=1)
+    scale = np.where(scale > 0, scale, 1.0)
+    rel = np.linalg.norm(acc - acc_o, axis=1) / scale
+    assert np.sqrt(np.mean(rel ** 2)) < 5e-5
