@@ -124,6 +124,11 @@ class TreeConfig:
         if self.farfield not in ("local", "m2p", "grid", "grid2"):
             raise ValueError("farfield must be local|m2p|grid|grid2")
         if self.farfield == "grid2":
+            if self.traversal_mode != "shared" or self.multipole_order >= 2:
+                raise ValueError(
+                    "farfield='grid2' requires traversal_mode='shared' "
+                    "and multipole_order<2 (the walk's coverage drops "
+                    "and per-pair kernel masks live there)")
             if not (2 <= self.local_order <= 8):
                 raise ValueError("grid2 local_order must be in [2, 8]")
             gq = self.grid_multipole_order
@@ -131,6 +136,13 @@ class TreeConfig:
                 raise ValueError("grid_multipole_order must be in [0, 8]")
             if self.grid_sep < 2:
                 raise ValueError("grid_sep must be >= 2")
+            cap = {1: 21, 2: 10, 3: 7}[self.ndim]
+            if self.grid_level is not None and not (
+                    0 <= self.grid_level <= cap):
+                raise ValueError(
+                    f"grid2 grid_level must be in [0, {cap}] for ndim="
+                    f"{self.ndim} (cell ids must pack into f32-exact "
+                    "ints; grid2.effective_grid_level caps likewise)")
             if self.grid_occupancy < 1:
                 raise ValueError("grid_occupancy must be >= 1")
         elif self.local_order not in (2, 3):

@@ -34,7 +34,12 @@ def _gather_tiles(td: TreeData, cfg: TreeConfig):
     SURVEY.md C4); their particle ranges are contiguous in Morton order but
     variable-length, so targets are gathered by index with a count mask.
     Padding targets get index N (dropped on output scatter, never matching
-    a source index)."""
+    a source index).
+
+    In grid2 mode three extra arrays ride along: per-target leaf-grid
+    cells (the kernels' per-pair coverage operand) and the per-tile cell
+    range [clo, chi] (the walk's conservative drop test operand) —
+    tiles are NOT clipped at cell boundaries in grid2."""
     n, ndim = td.pos.shape
     T = cfg.ncrit
     TC = td.tile_begin.shape[0]
@@ -58,11 +63,24 @@ def _gather_tiles(td: TreeData, cfg: TreeConfig):
     tcell = jnp.pad(td.tile_cell, ((0, pad), (0, 0)))
 
     shape = (n_chunks, CH)
-    return (tiles_pos.reshape(shape + (T, ndim)),
-            tiles_idx.reshape(shape + (T,)),
-            tlo.reshape(shape + (ndim,)),
-            thi.reshape(shape + (ndim,)),
-            tcell.reshape(shape + (ndim,)))
+    out = (tiles_pos.reshape(shape + (T, ndim)),
+           tiles_idx.reshape(shape + (T,)),
+           tlo.reshape(shape + (ndim,)),
+           thi.reshape(shape + (ndim,)),
+           tcell.reshape(shape + (ndim,)))
+    if cfg.farfield == "grid2":
+        from . import grid2
+        L0 = grid2.effective_grid_level(cfg, n)
+        pcells = grid2.particle_cells(td.pos, td.box_size,
+                                      cfg.max_depth, L0)       # [N, D]
+        tpc = pcells[safe]                                     # [TCp,T,D]
+        bigc = jnp.asarray(1 << 30, I32)
+        clo = jnp.min(jnp.where(mask[..., None], tpc, bigc), axis=1)
+        chi = jnp.max(jnp.where(mask[..., None], tpc, -1), axis=1)
+        out = out + (tpc.reshape(shape + (T, ndim)),
+                     clo.reshape(shape + (ndim,)),
+                     chi.reshape(shape + (ndim,)))
+    return out
 
 
 def _gather_sources(td: TreeData, cfg: TreeConfig, il, dtype):
@@ -91,17 +109,61 @@ def _gather_sources(td: TreeData, cfg: TreeConfig, il, dtype):
     return m_pos, m_mass, m_quad, p_pos, p_mass, p_idx
 
 
+def _split_tiles(tiles):
+    """(base 5-tuple, grid2 extras (tpcell, clo, chi) or None)."""
+    if len(tiles) > 5:
+        return tiles[:5], tiles[5:]
+    return tiles, None
+
+
 def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
                 tpos, tidx, blo, bhi, tables=None, tcell=None,
-                Lgrid=None, extra=None, mode="both"):
+                Lgrid=None, extra=None, mode="both", tcells=None):
     """Traversal + gather + kernel for one chunk of tiles (shared by the
     single-chip and sharded paths).
 
     extra: optional (pos [E, D], mass [E]) additional sources applied to
     every valid tile — the LET import path (parallel/let.py): remote
     macro-particles/boundary particles enter the same far/near gate as
-    walk-accepted nodes (far -> tile local expansion, near -> kernel)."""
+    walk-accepted nodes (far -> tile local expansion, near -> kernel).
+
+    tcells (grid2): (tgt_cell [C, T, D], tcell_lo [C, D], tcell_hi
+    [C, D]) — per-target leaf cells for the kernels' per-pair coverage
+    mask and the tile cell range for the walk's drop test. The grid2
+    far field itself (per-particle L2P) is NOT added here; it is
+    computed once per query outside the chunk loop."""
     from .kernels import dispatch  # late import to avoid cycles
+    if (cfg.traversal_mode == "shared" and cfg.multipole_order < 2
+            and cfg.farfield == "grid2"):
+        from . import traversal2
+        n = td.pos.shape[0]
+        tvalid = tidx[:, 0] < n
+        tpcell, clo, chi = tcells
+        src = traversal2.build_shared_sources(td, cfg, theta, blo, bhi,
+                                              tables=tables,
+                                              tile_valid=tvalid,
+                                              tcell_lo=clo, tcell_hi=chi)
+        src_pos, src_mass, src_idx = src.pos, src.mass, src.idx
+        mask, cell = src.mask, src.cell
+        if extra is not None:
+            e_pos, e_mass = extra
+            near_e = jnp.broadcast_to(
+                tvalid[:, None], (tvalid.shape[0], e_pos.shape[0]))
+            src_pos = jnp.concatenate([src_pos, e_pos], axis=0)
+            src_mass = jnp.concatenate([src_mass, e_mass], axis=0)
+            src_idx = jnp.concatenate(
+                [src_idx, jnp.full(e_pos.shape[0], -1, I32)], axis=0)
+            mask = jnp.concatenate([mask, near_e], axis=1)
+            if cell is not None:
+                # LET imports are remote mass absent from the local
+                # pyramid: exempt from the coverage test (cell -1)
+                cell = jnp.concatenate(
+                    [cell, jnp.full((e_pos.shape[0], cell.shape[1]),
+                                    -1, I32)], axis=0)
+        acc, pot = dispatch.eval_shared(
+            cfg, tpos, tidx, src_pos, src_mass, src_idx, mask, eps, G,
+            mode=mode, src_cell=cell, tgt_cell=tpcell)
+        return acc, pot, src.overflow, src.maxima
     if cfg.traversal_mode == "shared" and cfg.multipole_order < 2:
         from . import expansion, traversal2
         n = td.pos.shape[0]
@@ -190,22 +252,27 @@ def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0,
     (pos [E, D], mass [E]) sources added to every tile (LET imports)."""
     n, ndim = td.pos.shape
     dtype = td.pos.dtype
-    tiles_pos, tiles_idx, box_lo, box_hi, tiles_cell = _gather_tiles(
-        td, cfg)
+    tiles = _gather_tiles(td, cfg)
+    (tiles_pos, tiles_idx, box_lo, box_hi, tiles_cell), gx = \
+        _split_tiles(tiles)
     tables = _make_tables(td, cfg)
     Lgrid = _grid_farfield(td, cfg, eps)
 
     def chunk_fn(args):
-        tpos, tidx, blo, bhi, tcell = args
+        if gx is not None:
+            tpos, tidx, blo, bhi, tcell, tpc, clo, chi = args
+            tcells = (tpc, clo, chi)
+        else:
+            tpos, tidx, blo, bhi, tcell = args
+            tcells = None
         acc, pot, ovf, mx = _eval_chunk(td, cfg, theta, eps, G, dtype,
                                         tpos, tidx, blo, bhi,
                                         tables=tables, tcell=tcell,
                                         Lgrid=Lgrid, extra=extra,
-                                        mode=mode)
+                                        mode=mode, tcells=tcells)
         return acc, pot, tidx, ovf, mx
 
-    acc, pot, tidx, ovf, mx = jax.lax.map(
-        chunk_fn, (tiles_pos, tiles_idx, box_lo, box_hi, tiles_cell))
+    acc, pot, tidx, ovf, mx = jax.lax.map(chunk_fn, tiles)
     # Particles are partitioned by tiles in Morton order, so results map
     # back by a monotone gather: particle i lives in the tile whose begin
     # is the last one <= i, at offset i - begin (scatter-free).
@@ -223,6 +290,13 @@ def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0,
     T = cfg.ncrit
     acc_u = acc.reshape(-1, T, ndim)[t_of_p, off]
     pot_u = pot.reshape(-1, T)[t_of_p, off]
+    if cfg.farfield == "grid2":
+        # dense conv-M2L far field, per-particle L2P (grid2.py) — once
+        # per query, outside the chunk loop
+        from . import grid2
+        acc_f, pot_f = grid2.far_field(td, cfg, eps, G)
+        acc_u = acc_u + acc_f
+        pot_u = pot_u + pot_f
     ovf4 = jnp.any(ovf, axis=0)  # [4]: m2p/p2p_leaf/p2p_src/frontier
     if with_stats:
         return acc_u, pot_u, ovf4, jnp.max(mx, axis=0)
@@ -273,24 +347,35 @@ def _grid_jit(td, cfg, eps):
     return _grid_farfield(td, cfg, eps)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _far_jit(td, cfg, eps, G):
+    """grid2 per-particle far field (one executable per query)."""
+    from . import grid2
+    return grid2.far_field(td, cfg, eps, G)
+
+
 @partial(jax.jit, static_argnames=("cfg", "K", "mode"))
 def _slice_query_jit(td, cfg, theta, eps, G, tiles, tables, Lgrid,
                      start, K, mode="both"):
-    tiles_pos, tiles_idx, box_lo, box_hi, tiles_cell = tiles
     dtype = td.pos.dtype
+    _, gx = _split_tiles(tiles)
 
     def sl(a):
         return jax.lax.dynamic_slice_in_dim(a, start, K, axis=0)
 
     def chunk_fn(args):
-        tpos, tidx, blo, bhi, tcell = args
+        if gx is not None:
+            tpos, tidx, blo, bhi, tcell, tpc, clo, chi = args
+            tcells = (tpc, clo, chi)
+        else:
+            tpos, tidx, blo, bhi, tcell = args
+            tcells = None
         return _eval_chunk(td, cfg, theta, eps, G, dtype, tpos, tidx,
                            blo, bhi, tables=tables, tcell=tcell,
-                           Lgrid=Lgrid, mode=mode)
+                           Lgrid=Lgrid, mode=mode, tcells=tcells)
 
     acc, pot, ovf, mx = jax.lax.map(
-        chunk_fn, (sl(tiles_pos), sl(tiles_idx), sl(box_lo), sl(box_hi),
-                   sl(tiles_cell)))
+        chunk_fn, tuple(sl(a) for a in tiles))
     return acc, pot, jnp.any(ovf, axis=0), jnp.max(mx, axis=0)
 
 
@@ -361,4 +446,8 @@ def acc_pot_u_host(td, cfg: TreeConfig, theta, eps, G=1.0,
         pot_tiles = jnp.concatenate(
             [pot_tiles, jnp.zeros((pad_rows, cfg.ncrit), dt)], axis=0)
     acc_u, pot_u = _assemble_jit(td, cfg, acc_tiles, pot_tiles)
+    if cfg.farfield == "grid2":
+        acc_f, pot_f = _far_jit(td, cfg, eps, G)
+        acc_u = acc_u + acc_f
+        pot_u = pot_u + pot_f
     return acc_u, pot_u, ovf, mx

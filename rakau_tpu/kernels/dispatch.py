@@ -22,15 +22,20 @@ def _on_tpu() -> bool:
 
 
 def eval_shared(cfg: TreeConfig, tgt_pos, tgt_idx, src_pos, src_mass,
-                src_idx, mask, eps, G, mode: str = "both"):
+                src_idx, mask, eps, G, mode: str = "both",
+                src_cell=None, tgt_cell=None):
     """Shared-candidate evaluation (traversal2): sources common to the
     chunk's tiles, per-tile mask planes. mode: "both" | "acc" | "pot"
     (accs-only skips the potential reduction; pots-only skips the
-    acceleration reductions — the skipped output is returned as zeros)."""
+    acceleration reductions — the skipped output is returned as zeros).
+
+    src_cell [S, D] / tgt_cell [C, T, D] (grid2): per-pair leaf-grid
+    coverage masking with separation cfg.grid_sep (grid2.py)."""
     backend = cfg.kernel_backend
     if backend == "auto":
         backend = "pallas" if _on_tpu() else "xla"
     comp = cfg.accum == "compensated"
+    sep = cfg.grid_sep if src_cell is not None else 0
     if backend == "pallas":
         import os
         from . import pallas as pk
@@ -39,7 +44,9 @@ def eval_shared(cfg: TreeConfig, tgt_pos, tgt_idx, src_pos, src_mass,
         if fused:
             return pk.eval_shared_fused(tgt_pos, tgt_idx, src_pos,
                                         src_mass, src_idx, mask, eps, G,
-                                        compensated=comp, mode=mode)
+                                        compensated=comp, mode=mode,
+                                        src_cell=src_cell,
+                                        tgt_cell=tgt_cell, grid_sep=sep)
         if src_pos.shape[0] > pk.FUSED_VMEM_SRC_LIMIT:
             # Surface the VMEM-driven perf cliff instead of silently
             # taking the slower blocked kernel (VERDICT r1).
@@ -48,13 +55,19 @@ def eval_shared(cfg: TreeConfig, tgt_pos, tgt_idx, src_pos, src_mass,
                 _warned_fused_fallback = True
                 logger.warning(
                     "pallas: source row %d exceeds FUSED_VMEM_SRC_LIMIT"
-                    " (%d); falling back to the slower blocked kernel."
+                    " (%d); falling back to the slower %s kernel."
                     " Lower m2p_cap/p2p_src_cap to restore the fused"
-                    " path.", src_pos.shape[0], pk.FUSED_VMEM_SRC_LIMIT)
-        return pk.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass,
-                              src_idx, mask, eps, G)
+                    " path.", src_pos.shape[0], pk.FUSED_VMEM_SRC_LIMIT,
+                    "XLA" if sep else "blocked")
+        if not sep:
+            return pk.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass,
+                                  src_idx, mask, eps, G)
+        # the blocked pallas kernel has no cell planes; the XLA kernel
+        # is the correct (slower) oversize fallback in grid2 mode
     return xla.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx,
-                           mask, eps, G, compensated=comp, mode=mode)
+                           mask, eps, G, compensated=comp, mode=mode,
+                           src_cell=src_cell, tgt_cell=tgt_cell,
+                           grid_sep=sep)
 
 
 def eval_tiles(cfg: TreeConfig, tgt_pos, tgt_idx,

@@ -401,7 +401,8 @@ def _two_sum(a, b):
 
 
 def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
-                         compensated=False, subblock=0, mode="both"):
+                         compensated=False, subblock=0, mode="both",
+                         grid_sep=0, cell_bits=0):
     """Fused shared-candidate kernel: grid (C,) — one step per tile.
 
     The whole shared source row stays VMEM-resident across the grid
@@ -419,21 +420,51 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
     finer selection raises in-step density ~2-3x at full step width.
     Padding ids may point at any subblock whose mask row is zero.
 
-    refs: tgt planes x ndim + tgt_idx  [1,T,1],
-          src planes x ndim + mass + idx [1,1,S] (whole row),
+    refs: tgt planes x ndim + tgt_idx  [1,T,1]
+          (+ ONE packed tgt cell plane [1,T,1] f32 when grid_sep > 0),
+          src planes x ndim + mass + idx [1,1,S] (whole row)
+          (+ ONE packed src cell plane [1,1,S] f32 when grid_sep > 0),
           mask [1,1,S] (per tile),
-          outs: acc planes x ndim + pot [1,T,1]."""
+          outs: acc planes x ndim + pot [1,T,1].
+
+    grid_sep > 0 enables the per-pair leaf-grid coverage mask (grid2):
+    a pair is dead iff its Chebyshev cell separation >= grid_sep
+    (covered by the dense far field). Cell coords ride PACKED in a
+    single f32 plane per side (`cell_bits` bits per dim, value < 2^24
+    so integer-exact in f32; unpacked in-kernel with exact power-of-two
+    arithmetic) — one plane instead of ndim keeps the VMEM-resident
+    source row small. Packed cell < 0 marks rows exempt from the test
+    (LET imports, padding)."""
     c = pl.program_id(0)
+    n_cell = 1 if grid_sep else 0
     tgt_refs = refs[:ndim]
     ti_ref = refs[ndim]
-    src_refs = refs[ndim + 1:2 * ndim + 3]
-    mask_ref = refs[2 * ndim + 3]
-    out_refs = refs[2 * ndim + 4:]
+    tc_refs = refs[ndim + 1:ndim + 1 + n_cell]
+    base = ndim + 1 + n_cell
+    src_refs = refs[base:base + ndim + 2]
+    sc_refs = refs[base + ndim + 2:base + ndim + 2 + n_cell]
+    mask_ref = refs[base + ndim + 2 + n_cell]
+    out_refs = refs[base + ndim + 3 + n_cell:]
     eps2 = eps2_ref[0]
+
+    def unpack_cells(p):
+        """Packed f32 cell -> ndim f32 coords (exact: all values and
+        the 2^cell_bits quotients/remainders are < 2^24 integers)."""
+        Gc = float(1 << cell_bits)
+        invG = 1.0 / Gc
+        q = jnp.maximum(p, 0.0)
+        coords = []
+        for _ in range(ndim - 1):
+            qn = jnp.floor(q * invG)
+            coords.append(q - qn * Gc)    # last dim first
+            q = qn
+        coords.append(q)
+        return coords[::-1]
 
     T = tgt_refs[0].shape[1]
     tcols = [r[0] for r in tgt_refs]                    # (T, 1)
     ti = ti_ref[0]                                      # (T, 1) i32
+    tccols = unpack_cells(tc_refs[0][0]) if grid_sep else []
 
     def body(k, carry):
         accs, pot, comp = carry
@@ -452,6 +483,7 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
             m = asm(src_refs[ndim])
             si = asm(src_refs[ndim + 1])
             mk = asm(mask_ref)
+            scp = asm(sc_refs[0]) if grid_sep else None
         else:
             off = pl.multiple_of(ids_ref[c, k] * block, block)
             srows = [src_refs[d][0, :, pl.ds(off, block)]
@@ -459,6 +491,8 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
             m = src_refs[ndim][0, :, pl.ds(off, block)]
             si = src_refs[ndim + 1][0, :, pl.ds(off, block)]
             mk = mask_ref[0, :, pl.ds(off, block)]
+            scp = (sc_refs[0][0, :, pl.ds(off, block)] if grid_sep
+                   else None)
         dxs = []
         r2 = None
         for d in range(ndim):
@@ -468,6 +502,15 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
         r2 = r2 + eps2
         inv_r = jax.lax.rsqrt(r2)
         dead = (si == ti) | (r2 <= 0.0)
+        if grid_sep:
+            scrows = unpack_cells(scp)                  # ndim x (1, B)
+            covered = scp >= 0.0                        # (1, B)
+            for d in range(ndim):
+                covered = covered & (jnp.abs(scrows[d] - tccols[d])
+                                     < grid_sep)        # (T, B)
+            # covered-at-range means NOT stencil-covered: invert sense —
+            # a pair is in the dense far field iff some dim sep >= S
+            dead = dead | (~covered & (scp >= 0.0))
         inv_r = jnp.where(dead, 0.0, inv_r)
         w = (m * mk) * inv_r
         # mode specialization: accs-only skips the potential reduction,
@@ -518,14 +561,36 @@ FUSED_VMEM_SRC_LIMIT = 400_000  # source entries
 def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
                       eps, G, block: int = None, interpret: bool = False,
                       compensated: bool = False, subblock: int = None,
-                      mode: str = "both"):
-    """Fused shared-candidate evaluation (see _shared_fused_kernel)."""
+                      mode: str = "both", src_cell=None, tgt_cell=None,
+                      grid_sep: int = 0):
+    """Fused shared-candidate evaluation (see _shared_fused_kernel).
+
+    src_cell [S, D] / tgt_cell [C, T, D] int cells enable the per-pair
+    grid2 coverage mask (dead iff Chebyshev cell sep >= grid_sep); the
+    D coords pack into ONE f32 plane per side (cell_bits per dim, < 2^24
+    so exact; exempt rows, src_cell[:, 0] < 0, pack to -1). grid2 also
+    defaults to block 512: the coverage test adds live (T, B) panels to
+    the Mosaic stack and the source rows are short, so smaller panels
+    beat per-step overhead (1024-block grid2 overflows scoped VMEM at
+    p2p_src_cap ~128k)."""
     import os
+    if src_cell is None:
+        grid_sep = 0
     if block is None:
-        block = int(os.environ.get("RAKAU_PALLAS_BLOCK", 1024))
+        block = int(os.environ.get("RAKAU_PALLAS_BLOCK",
+                                   512 if grid_sep else 1024))
     if subblock is None:
         subblock = int(os.environ.get("RAKAU_PALLAS_SUBBLOCK", 0))
     C, T, D = tgt_pos.shape
+    cell_bits = {1: 21, 2: 10, 3: 7}[D]
+
+    def pack_cells(cells):
+        """[..., D] int -> packed f32 (dim 0 highest); exempt rows
+        (coord 0 < 0) -> -1."""
+        p = cells[..., 0]
+        for d in range(1, D):
+            p = p * (1 << cell_bits) + jnp.maximum(cells[..., d], 0)
+        return jnp.where(cells[..., 0] < 0, -1, p).astype(jnp.float32)
     S0 = src_pos.shape[0]
     block = min(block, max(128, S0))
     if subblock >= block or (subblock and block % subblock):
@@ -542,6 +607,9 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
         src_mass = jnp.pad(src_mass, (0, pad))
         src_idx = jnp.pad(src_idx, (0, pad), constant_values=-1)
         mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        if grid_sep:
+            src_cell = jnp.pad(src_cell, ((0, pad), (0, 0)),
+                               constant_values=-1)
     maskf = mask.astype(jnp.float32)
     from .. import scan_utils as su
     gran = subblock if subblock else block
@@ -558,9 +626,13 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
 
     tgt_planes = [tgt_pos[:, :, d:d + 1] for d in range(D)]
     tgt_planes.append(tgt_idx[:, :, None])
+    if grid_sep:
+        tgt_planes.append(pack_cells(tgt_cell)[:, :, None])
     src_planes = [src_pos[:, d].reshape(1, 1, S) for d in range(D)]
     src_planes.append(src_mass.reshape(1, 1, S))
     src_planes.append(src_idx.reshape(1, 1, S))
+    if grid_sep:
+        src_planes.append(pack_cells(src_cell).reshape(1, 1, S))
     mask3 = maskf[:, None, :]
 
     def tspec():
@@ -582,7 +654,8 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
     )
     kernel = functools.partial(_shared_fused_kernel, ndim=D, block=block,
                                compensated=compensated, subblock=subblock,
-                               mode=mode)
+                               mode=mode, grid_sep=grid_sep,
+                               cell_bits=cell_bits)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -132,17 +132,24 @@ def _two_sum(a, b):
 
 def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
                 eps, G, block: int = 1024, compensated: bool = False,
-                mode: str = "both"):
+                mode: str = "both", src_cell=None, tgt_cell=None,
+                grid_sep: int = 0):
     """Shared-candidate evaluation: sources [S, ...] common to all C
     tiles, per-tile contribution mask [C, S] (traversal2). Direct
     per-component differences throughout (the mask mixes near and far
     sources, so the near-field-safe path is used for all). With
     `compensated`, partial block sums accumulate through TwoSum error
-    terms (the "mixed fp32/fp64 accumulation" of BASELINE config #3)."""
+    terms (the "mixed fp32/fp64 accumulation" of BASELINE config #3).
+
+    src_cell [S, D] / tgt_cell [C, T, D] (grid2 mode): per-pair leaf-
+    grid coverage masking — a pair is dead iff its Chebyshev cell
+    separation >= grid_sep (that part of the interaction lives in the
+    dense far field). Rows with src_cell < 0 are exempt (LET imports)."""
     C, T, D = tgt_pos.shape
     S = src_pos.shape[0]
     dtype = tgt_pos.dtype
     eps2 = jnp.asarray(eps, dtype) ** 2
+    use_cells = src_cell is not None
 
     nblk = max(1, -(-S // block))
     pad = nblk * block - S
@@ -154,15 +161,30 @@ def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
     sm = sm.reshape(nblk, block)
     si = si.reshape(nblk, block)
     mk = jnp.moveaxis(mk.reshape(C, nblk, block), 1, 0)
+    if use_cells:
+        sc = jnp.pad(src_cell, ((0, pad), (0, 0)), constant_values=-1)
+        sc = sc.reshape(nblk, block, D)
+        blks = (sp, sm, si, mk, sc)
+    else:
+        blks = (sp, sm, si, mk)
 
     def body(carry, blk):
         acc, pot, acc_c, pot_c = carry
-        s, m, idx, mkb = blk                 # [B,D],[B],[B],[C,B]
+        if use_cells:
+            s, m, idx, mkb, scb = blk        # [B,D],[B],[B],[C,B],[B,D]
+        else:
+            s, m, idx, mkb = blk
         dds = [s[None, None, :, d] - tgt_pos[:, :, None, d]
                for d in range(D)]
         r2 = eps2 + sum(dd * dd for dd in dds)
         inv_r = jax.lax.rsqrt(r2)
         excl = idx[None, None, :] == tgt_idx[:, :, None]
+        if use_cells:
+            csep = jnp.max(
+                jnp.abs(scb[None, None, :, :] - tgt_cell[:, :, None, :]),
+                axis=-1)                     # [C, T, B]
+            covered = (csep >= grid_sep) & (scb[None, None, :, 0] >= 0)
+            excl = excl | covered
         inv_r = jnp.where(excl | (r2 <= 0), 0.0, inv_r)
         w = (m[None, None, :] * mkb[:, None, :]) * inv_r
         if mode in ("both", "acc"):
@@ -187,8 +209,7 @@ def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
 
     init = (tgt_pos * 0, tgt_pos[..., 0] * 0,
             tgt_pos * 0, tgt_pos[..., 0] * 0)
-    (acc, pot, acc_c, pot_c), _ = jax.lax.scan(body, init,
-                                               (sp, sm, si, mk))
+    (acc, pot, acc_c, pot_c), _ = jax.lax.scan(body, init, blks)
     if compensated:
         acc = acc + acc_c
         pot = pot + pot_c

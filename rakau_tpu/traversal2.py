@@ -43,6 +43,9 @@ class SharedSources(NamedTuple):
     overflow: jnp.ndarray   # [4] bool (union, leaf-list, p2p expansion, frontier)
                             # aligned with TreeConfig cap fields
     maxima: jnp.ndarray     # [3] int32 (union nodes, total sources, frontier)
+    cell: jnp.ndarray = None  # [S, D] int32 leaf-grid cell (grid2 mode
+                              # only): the per-pair coverage test operand;
+                              # -1 marks rows exempt from the test
 
 
 def _point_dist2(lo, hi, p):
@@ -59,10 +62,11 @@ class TraversalTables(NamedTuple):
 
     ff [M, 8] f32: com_x..com_z (padded to 3), mass, size,
     level + 64*leaf_flag, packed effective cell (cell coords at
-    min(level, L0), D fields of L0 bits each — exact in f32: <= 18 bits),
+    min(level, L0), D fields of L0 bits each — exact in f32: <= 21 bits),
     bh_geom delta (or 0).
     ii [M, 2] i32: child_begin, child_count.
-    nm [M, 4] f32: com (padded to 3) + mass — materialization row gather.
+    nm [M, 4(+1)] f32: com (padded to 3) + mass (+ packed eff cell in
+    grid/grid2 mode) — materialization row gather.
     pm [N, 4] f32: particle pos (padded to 3) + mass — P2P row gather."""
     ff: jnp.ndarray
     ii: jnp.ndarray
@@ -71,10 +75,17 @@ class TraversalTables(NamedTuple):
 
 
 def _grid_l0(cfg: TreeConfig, n: int) -> int:
-    if cfg.farfield != "grid":
-        return 0
-    from .grid import effective_grid_level
-    return effective_grid_level(cfg, n)
+    if cfg.farfield == "grid":
+        from .grid import effective_grid_level
+        return effective_grid_level(cfg, n)
+    if cfg.farfield == "grid2":
+        from .grid2 import effective_grid_level
+        return effective_grid_level(cfg, n)
+    return 0
+
+
+def _grid_sep(cfg: TreeConfig) -> int:
+    return cfg.grid_sep if cfg.farfield == "grid2" else 3
 
 
 def make_tables(td: TreeData, cfg: TreeConfig) -> TraversalTables:
@@ -99,8 +110,10 @@ def make_tables(td: TreeData, cfg: TreeConfig) -> TraversalTables:
              else jnp.zeros(M, dtype)]
     ff = jnp.stack(cols, axis=1)
     ii = jnp.stack([td.node_child_begin, td.node_child_count], axis=1)
-    nm = jnp.concatenate(
-        [ff[:, :3], td.node_mass[:, None]], axis=1)
+    nm_cols = [ff[:, :3], td.node_mass[:, None]]
+    if L0 > 0:
+        nm_cols.append(cpack.astype(dtype)[:, None])
+    nm = jnp.concatenate(nm_cols, axis=1)
     pmc = [td.pos[:, d] for d in range(D)]
     pmc += [jnp.zeros(n, dtype)] * (3 - D) + [td.mass]
     pm = jnp.stack(pmc, axis=1)
@@ -110,15 +123,21 @@ def make_tables(td: TreeData, cfg: TreeConfig) -> TraversalTables:
 def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
                          box_lo, box_hi,
                          tables: TraversalTables = None,
-                         tile_cell=None, tile_valid=None) -> SharedSources:
+                         tile_cell=None, tile_valid=None,
+                         tcell_lo=None, tcell_hi=None) -> SharedSources:
     """One chunk's union walk. box_lo/hi: [C, D] tile AABBs. Jittable.
 
-    With cfg.farfield == "grid", candidates covered by the dense stencil
-    far field are dropped (node's own-level cell separation >= 3 from the
-    tile's ancestor cell; grid.py coverage proof) and nodes above the
-    leaf-grid level are never MAC-accepted (their far part is in the
-    grid, their near part must descend); tile_cell [C, D] are the tiles'
-    leaf-grid cells. tile_valid [C] masks padding tiles out of the walk."""
+    With cfg.farfield in ("grid", "grid2"), candidates covered by the
+    dense stencil far field are dropped and nodes above the leaf-grid
+    level are never MAC-accepted (their far part is in the grid, their
+    near part must descend). The drop test is against the tile's leaf-
+    grid cell RANGE [tcell_lo, tcell_hi] ([C, D] each): a node is
+    dropped iff its interval separation >= S, i.e. EVERY tile particle's
+    pair is stencil-covered (grid2.py coverage proof; with "grid" tiles
+    are cell-clipped so lo == hi == tile_cell and this reduces to the
+    round-1 per-tile test). tile_valid [C] masks padding tiles out of
+    the walk. grid2 additionally emits per-source leaf cells for the
+    kernels' exact per-pair coverage masking."""
     C, D = box_lo.shape
     dtype = td.pos.dtype
     theta_inv = 1.0 / jnp.asarray(theta, dtype)
@@ -127,12 +146,18 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     n = td.pos.shape[0]
     if tables is None:
         tables = make_tables(td, cfg)
-    use_grid = cfg.farfield == "grid"
+    use_grid = cfg.farfield in ("grid", "grid2")
+    emit_cells = cfg.farfield == "grid2"
+    S_sep = _grid_sep(cfg)
     L0 = 0
     if use_grid:
-        from .grid import effective_grid_level
-        L0 = effective_grid_level(cfg, n)
+        L0 = _grid_l0(cfg, n)
         use_grid = L0 > 0
+    emit_cells = emit_cells and use_grid
+    if tcell_lo is None:
+        tcell_lo = tile_cell
+    if tcell_hi is None:
+        tcell_hi = tile_cell
     if tile_valid is None:
         tile_valid = jnp.ones((C,), bool)
 
@@ -164,15 +189,18 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
             lvl = lvl_leaf & 63                         # [K]
             cp = row[:, 6].astype(I32)                  # packed eff cell
             # node cell already at l_eff = min(level, L0); shift the tile
-            # cell down when the node is shallower
+            # cell range down when the node is shallower
             sh_t = jnp.maximum(L0 - lvl, 0)             # [K]
             fmask = (1 << L0) - 1
             sep = jnp.zeros((C, K), I32)
             for d in range(D):
                 nc = (cp >> (d * L0)) & fmask           # [K]
-                tc = tile_cell[:, None, d] >> sh_t[None, :]
-                sep = jnp.maximum(sep, jnp.abs(nc[None, :] - tc))
-            use = use & (sep < 3)                       # covered -> drop
+                tl = tcell_lo[:, None, d] >> sh_t[None, :]
+                th = tcell_hi[:, None, d] >> sh_t[None, :]
+                sd = jnp.maximum(jnp.maximum(nc[None, :] - th,
+                                             tl - nc[None, :]), 0)
+                sep = jnp.maximum(sep, sd)
+            use = use & (sep < S_sep)                   # covered -> drop
             acc = acc & (lvl >= L0)[None, :]            # never accept above
         accepted = acc & use & (mass > 0)[None, :]
         opened = (~acc) & use
@@ -271,6 +299,14 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     m_idx = jnp.full(ucap, -1, I32)
     m_mask = m2p_flat[uidx_c] & uvalid[:, None]          # [ucap, C]
     ovf_uni = ucnt > ucap
+    m_cell = None
+    if emit_cells:
+        # accepted nodes have level >= L0, so the packed effective cell
+        # IS the leaf-grid cell
+        cp = m_row[:, 4].astype(I32)
+        fmask = (1 << L0) - 1
+        m_cell = jnp.stack([(cp >> (d * L0)) & fmask for d in range(D)],
+                           axis=1)                       # [ucap, D]
 
     # P2P rows: leaves opened by >= 1 tile, expanded to their particles
     pcap = cfg.p2p_src_cap
@@ -307,27 +343,37 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     p_mass = jnp.where(rvalid, p_row[:, 3], 0.0)
     leaf_mask = p2p_flat[lidx_c] & lvalid[:, None]       # [lcap, C]
     p_mask = leaf_mask[row_c] & rvalid[:, None]          # [pcap, C]
+    p_cell = None
     if use_grid:
         # Leaves ABOVE the grid level span several leaf-grid cells; their
-        # particles in stencil-covered cells (L0 separation >= 3 from the
-        # tile cell) are already in the dense far field — filter them per
-        # particle. Particles of deeper leaves share the leaf's cell and
-        # pass automatically (their leaf was not dropped).
+        # particles in stencil-covered cells (L0 separation >= S from
+        # every tile cell) are already in the dense far field — filter
+        # them per particle against the tile's cell range (conservative;
+        # grid2 closes the per-pair remainder in the kernel). Particles
+        # of deeper leaves share the leaf's cell and pass automatically.
         from . import particles as pmod
         pcell = (pmod.discretize(p_pos, td.box_size, cfg.max_depth)
                  >> jnp.asarray(cfg.max_depth - L0, jnp.uint32)
                  ).astype(I32)                           # [pcap, D]
-        psep = jnp.max(jnp.abs(pcell[:, None, :] - tile_cell[None, :, :]),
-                       axis=-1)                          # [pcap, C]
-        p_mask = p_mask & (psep < 3)
+        pd = jnp.maximum(jnp.maximum(
+            pcell[:, None, :] - tcell_hi[None, :, :],
+            tcell_lo[None, :, :] - pcell[:, None, :]), 0)
+        psep = jnp.max(pd, axis=-1)                      # [pcap, C]
+        p_mask = p_mask & (psep < S_sep)
+        if emit_cells:
+            p_cell = pcell
 
     pos = jnp.concatenate([m_pos, p_pos], axis=0).astype(dtype)
     mass = jnp.concatenate([m_mass, p_mass], axis=0).astype(dtype)
     idx = jnp.concatenate([m_idx, pidx], axis=0)
     mask = jnp.concatenate([m_mask, p_mask], axis=0).T   # [C, S]
+    cell = None
+    if emit_cells:
+        cell = jnp.concatenate([m_cell, p_cell], axis=0)  # [S, D]
 
     return SharedSources(
         pos=pos, mass=mass, idx=idx, mask=mask,
         count=jnp.minimum(ucnt, ucap) + jnp.minimum(total_p, pcap),
         overflow=jnp.stack([ovf_uni, ovf_leaf, ovf_p2p, ovf_frontier]),
-        maxima=jnp.stack([ucnt, ucnt + total_p, f_max]))
+        maxima=jnp.stack([ucnt, ucnt + total_p, f_max]),
+        cell=cell)

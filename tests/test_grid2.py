@@ -235,3 +235,77 @@ def test_grid2_2d(rng):
     scale = np.where(scale > 0, scale, 1.0)
     rel = np.linalg.norm(acc - acc_o, axis=1) / scale
     assert np.sqrt(np.mean(rel ** 2)) < 5e-5
+
+
+# ------------------------------------------------- end-to-end engine
+def test_engine_grid2_query_vs_oracle(rng):
+    """Full Tree query with farfield='grid2' stays inside the theta
+    envelope AND, at high order + small theta, approaches the oracle —
+    the end-to-end decoupling test (tiles span multiple cells: ncrit
+    does not divide cell occupancy)."""
+    from rakau_tpu.tree import octree
+    n = 4096
+    pos = rng.normal(size=(n, 3)).astype(np.float32) * 0.3
+    mass = rng.uniform(0.5, 1.5, size=n).astype(np.float32)
+    t = octree(coords=pos, masses=mass, max_leaf_n=16, ncrit=64,
+               farfield="grid2", local_order=4, grid_level=3)
+    acc, pot = t.accs_pots_o(theta=0.75)
+    acc_o, pot_o = direct_acc_pot_np(np.asarray(pos, np.float64),
+                                     np.asarray(mass, np.float64))
+    scale = np.linalg.norm(acc_o, axis=1)
+    scale = np.where(scale > 0, scale, 1.0)
+    rel = np.linalg.norm(np.asarray(acc) - acc_o, axis=1) / scale
+    rms = np.sqrt(np.mean(rel ** 2))
+    # theta=0.75 monopole envelope ('local' mode measures 4.38e-3 on
+    # this distribution; grid2 at order 4 measures 4.35e-3)
+    assert rms < 5.5e-3, rms
+
+    # theta=0.3 + order 6: the near-field monopole MAC floors the error
+    # at ~2.5e-4 here; the far field contributes nothing measurable
+    t6 = octree(coords=pos, masses=mass, max_leaf_n=16, ncrit=64,
+                farfield="grid2", local_order=6, grid_level=3)
+    acc6, _ = t6.accs_pots_o(theta=0.3)
+    rel6 = np.linalg.norm(np.asarray(acc6) - acc_o, axis=1) / scale
+    rms6 = np.sqrt(np.mean(rel6 ** 2))
+    assert rms6 < 4e-4, rms6
+
+
+def test_engine_grid2_matches_local_mode(rng):
+    """grid2 and plain 'local' farfield agree to expansion error at the
+    same theta (same MAC resolution of the near region)."""
+    from rakau_tpu.tree import octree
+    n = 2048
+    pos = rng.uniform(-0.5, 0.5, size=(n, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, size=n).astype(np.float32)
+    t_g = octree(coords=pos, masses=mass, max_leaf_n=16, ncrit=64,
+                 farfield="grid2", local_order=5, grid_level=2)
+    t_l = octree(coords=pos, masses=mass, max_leaf_n=16, ncrit=64,
+                 farfield="local")
+    ag, _ = t_g.accs_pots_o(theta=0.5)
+    al, _ = t_l.accs_pots_o(theta=0.5)
+    scale = np.linalg.norm(np.asarray(al, np.float64), axis=1)
+    scale = np.where(scale > 0, scale, 1.0)
+    rel = np.linalg.norm(np.asarray(ag, np.float64)
+                         - np.asarray(al, np.float64), axis=1) / scale
+    assert np.sqrt(np.mean(rel ** 2)) < 2e-3
+
+
+def test_engine_grid2_eps_and_G(rng):
+    """Softening and G thread through the grid2 far field."""
+    from rakau_tpu.tree import octree
+    n = 1024
+    pos = rng.uniform(-0.5, 0.5, size=(n, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, size=n).astype(np.float32)
+    t = octree(coords=pos, masses=mass, max_leaf_n=16, ncrit=64,
+               farfield="grid2", local_order=5, grid_level=2)
+    acc, pot = t.accs_pots_o(theta=0.4, eps=0.08, G=2.5)
+    acc_o, pot_o = direct_acc_pot_np(np.asarray(pos, np.float64),
+                                     np.asarray(mass, np.float64),
+                                     eps=0.08, G=2.5)
+    scale = np.linalg.norm(acc_o, axis=1)
+    scale = np.where(scale > 0, scale, 1.0)
+    rel = np.linalg.norm(np.asarray(acc) - acc_o, axis=1) / scale
+    assert np.sqrt(np.mean(rel ** 2)) < 1e-3
+    prel = np.abs(np.asarray(pot) - pot_o) / np.maximum(np.abs(pot_o),
+                                                        1e-12)
+    assert np.sqrt(np.mean(prel ** 2)) < 1e-3
