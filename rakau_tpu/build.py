@@ -115,6 +115,78 @@ def sort_by_code(code_hi, code_lo, *arrays):
     return hi_s, lo_s, perm, tuple(sorted_arrays)
 
 
+def sort_near_sorted(code_hi, code_lo, *arrays, block: int = 4096):
+    """Near-sorted variant of `sort_by_code` (SURVEY C11 / BASELINE
+    config #3 "incremental Morton re-sort"): two overlapping batched
+    block sorts instead of one global sort.
+
+    After a small leapfrog step the previous Morton order is almost
+    sorted; if every particle's rank displacement is < block/2, sorting
+    width-`block` windows at offsets 0 and block/2 yields a fully sorted
+    sequence. Batched width-B sorts cost ~log^2(B) merge stages vs
+    ~log^2(N) for the global sort (~3.5x fewer at B=4k, N=8M). The
+    result is VERIFIED (one lexicographic adjacent-pair check) and falls
+    back to the full sort via lax.cond when any particle moved too far —
+    never an approximation."""
+    n = code_hi.shape[0]
+    if n <= 2 * block:
+        return sort_by_code(code_hi, code_lo, *arrays)
+    iota = jnp.arange(n, dtype=I32)
+    cols = []
+    splits = []
+    for a in arrays:
+        if a.ndim == 1:
+            cols.append(a)
+            splits.append(None)
+        else:
+            splits.append(a.shape[1])
+            for d in range(a.shape[1]):
+                cols.append(a[:, d])
+    ops = (code_hi, code_lo, iota) + tuple(cols)
+
+    nb = n // block
+    half = block // 2
+
+    def blocked(op_tuple, off: int, width: int):
+        """Sort [off, off+width) in place, width % block == 0."""
+        body = tuple(o[off:off + width].reshape(-1, block)
+                     for o in op_tuple)
+        out = jax.lax.sort(body, num_keys=2, dimension=1)
+        return tuple(
+            jnp.concatenate([o[:off], s.reshape(-1), o[off + width:]])
+            for o, s in zip(op_tuple, out))
+
+    # pass A: aligned blocks (remainder tail merged into the last block
+    # by sorting the final `block` elements in pass B's offset grid)
+    ops = blocked(ops, 0, nb * block)
+    # pass B: offset by block/2; cover the tail by ending at n
+    off = half
+    width = ((n - off) // block) * block
+    ops = blocked(ops, off, width)
+    if off + width < n:
+        ops = blocked(ops, n - block, block)
+
+    hi_s, lo_s = ops[0], ops[1]
+    ok = jnp.all((hi_s[:-1] < hi_s[1:])
+                 | ((hi_s[:-1] == hi_s[1:]) & (lo_s[:-1] <= lo_s[1:])))
+
+    def full(_):
+        return jax.lax.sort((code_hi, code_lo, iota) + tuple(cols),
+                            num_keys=2)
+
+    out = jax.lax.cond(ok, lambda _: ops, full, None)
+    hi_s, lo_s, perm = out[0], out[1], out[2]
+    rest = list(out[3:])
+    sorted_arrays = []
+    for a, s in zip(arrays, splits):
+        if s is None:
+            sorted_arrays.append(rest.pop(0))
+        else:
+            sorted_arrays.append(jnp.stack([rest.pop(0) for _ in range(s)],
+                                           axis=1))
+    return hi_s, lo_s, perm, tuple(sorted_arrays)
+
+
 def _inv_permutation(perm):
     """Inverse permutation via sort (scatter-free)."""
     n = perm.shape[0]
@@ -122,8 +194,14 @@ def _inv_permutation(perm):
     return inv
 
 
-def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
-    """Construct the tree (jittable; cfg static)."""
+def build_tree(pos, mass, cfg: TreeConfig, box_size=None,
+               near_sorted: bool = False) -> TreeData:
+    """Construct the tree (jittable; cfg/near_sorted static).
+
+    near_sorted=True uses the verified two-pass blockwise re-sort
+    (`sort_near_sorted`) — the incremental-update fast path for inputs
+    already close to Morton order (leapfrog steps); falls back to the
+    full sort automatically when the assumption fails."""
     if box_size is None:
         box_size = particles.auto_box_size(pos)
     box_size = jnp.asarray(box_size, pos.dtype)
@@ -136,7 +214,8 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
     # ---- 1. encode + payload sort -------------------------------------
     cells = particles.discretize(pos, box_size, depth)
     chi, clo = morton.encode(cells, ndim, depth)
-    hi_s, lo_s, perm, (pos_s, mass_s, cells_s) = sort_by_code(
+    sorter = sort_near_sorted if near_sorted else sort_by_code
+    hi_s, lo_s, perm, (pos_s, mass_s, cells_s) = sorter(
         chi, clo, pos, mass, cells)
     inv_perm = _inv_permutation(perm)
     pidx = jnp.arange(n, dtype=I32)
@@ -217,10 +296,15 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
     n_nodes = m1 + 1
 
     # ---- 4. per-node counts via (batched) per-level boundary scans ----
+    # Level groups are ALIGNED with step 2's loop (same `ls` arrays), so
+    # XLA CSE evaluates each level's cummax/cummin pair ONCE for both
+    # consumers — this halves the build's scan-pass volume (the build's
+    # top cost at 8M; VERDICT r1 item 6). Level-0 rows are exact too
+    # (R_0(0) = n), making the root row a plain member of the loop.
     node_cnt = jnp.full(M, 0, I32) + init_m1[0] + 1  # varying zero
     node_cnt = node_cnt.at[0].set(n)  # root (single-element update)
     bc = jnp.clip(node_begin, 0, n - 1)
-    for l0 in range(1, depth + 1, lgroup):
+    for l0 in range(0, depth + 1, lgroup):
         ls = jnp.arange(l0, min(l0 + lgroup, depth + 1), dtype=I32)
         R, _ = level_counts_batch(ls)
         g = ls.shape[0]
@@ -245,33 +329,33 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
     node_child_count = jnp.where(internal, ce - cb, 0)
 
     # ---- 6. mass/COM/quad via double-double prefix sums ---------------
-    prefixes = [su.dd_cumsum(mass_s)]
-    for d in range(ndim):
-        prefixes.append(su.dd_cumsum(mass_s * pos_s[:, d]))
+    # One BATCHED [N, 1+ndim] dd scan + one batched boundary gather for
+    # mass/COM (was 1+ndim separate full-N scans/gathers; VERDICT r1
+    # item 6 "cut the dd_cumsum count").
+    mcols = jnp.stack([mass_s] + [mass_s * pos_s[:, d]
+                                  for d in range(ndim)], axis=1)
+    mhi, mlo = su.dd_cumsum_cols(mcols)
+    msegs = su.segment_sum_from_prefix_cols(mhi, mlo, node_begin,
+                                            node_end)      # [M, 1+D]
+    quad_prefixes = []
     if cfg.multipole_order >= 2:
         for a in range(ndim):
             for b2 in range(a, ndim):
-                prefixes.append(su.dd_cumsum(
+                quad_prefixes.append(su.dd_cumsum(
                     mass_s * pos_s[:, a] * pos_s[:, b2]))
 
-    def seg(pidx_pref):
-        h, l = pidx_pref
-        return su.segment_sum_from_prefix(h, l, node_begin, node_end)
-
-    msum = seg(prefixes[0])
+    msum = msegs[:, 0]
     node_mass = jnp.where(node_valid, msum, 0.0).astype(dtype)
     safe_m = jnp.where(msum != 0, msum, 1.0)
-    node_com = jnp.stack(
-        [seg(prefixes[1 + d]) / safe_m for d in range(ndim)],
-        axis=1).astype(dtype)
+    node_com = (msegs[:, 1:] / safe_m[:, None]).astype(dtype)
 
     if cfg.multipole_order >= 2:
         comps = []
-        ci = 1 + ndim
+        ci = 0
         for a in range(ndim):
             for b2 in range(a, ndim):
                 h, l = su.segment_sum_from_prefix(
-                    *prefixes[ci], node_begin, node_end, dd_out=True)
+                    *quad_prefixes[ci], node_begin, node_end, dd_out=True)
                 ci += 1
                 # Parallel-axis shift about the COM: S_ab - M c_a c_b.
                 # The shift nearly cancels S for tight far-from-origin

@@ -23,19 +23,48 @@ def _on_tpu() -> bool:
 
 def eval_shared(cfg: TreeConfig, tgt_pos, tgt_idx, src_pos, src_mass,
                 src_idx, mask, eps, G, mode: str = "both",
-                src_cell=None, tgt_cell=None):
+                src_cell=None, tgt_cell=None, src_quad=None):
     """Shared-candidate evaluation (traversal2): sources common to the
     chunk's tiles, per-tile mask planes. mode: "both" | "acc" | "pot"
     (accs-only skips the potential reduction; pots-only skips the
     acceleration reductions — the skipped output is returned as zeros).
 
     src_cell [S, D] / tgt_cell [C, T, D] (grid2): per-pair leaf-grid
-    coverage masking with separation cfg.grid_sep (grid2.py)."""
+    coverage masking with separation cfg.grid_sep (grid2.py).
+
+    src_quad [U, Q] (multipole_order=2): raw second moments of the FIRST
+    U source rows (the traversal's M2P node segment). The evaluation
+    splits into two launches — quadrupole kernel on rows [0, U), plain
+    monopole kernel on rows [U, S) — so the (ndim more planes, ~3x
+    flops/pair) quadrupole math is paid only on the node rows."""
     backend = cfg.kernel_backend
     if backend == "auto":
         backend = "pallas" if _on_tpu() else "xla"
     comp = cfg.accum == "compensated"
     sep = cfg.grid_sep if src_cell is not None else 0
+    if src_quad is not None:
+        U = src_quad.shape[0]
+        a1, p1 = eval_shared(cfg, tgt_pos, tgt_idx, src_pos[U:],
+                             src_mass[U:], src_idx[U:], mask[:, U:],
+                             eps, G, mode=mode,
+                             src_cell=None if src_cell is None
+                             else src_cell[U:], tgt_cell=tgt_cell)
+        if backend == "pallas":
+            from . import pallas as pk
+            if U * 2 <= pk.FUSED_VMEM_SRC_LIMIT:
+                a2, p2 = pk.eval_shared_fused(
+                    tgt_pos, tgt_idx, src_pos[:U], src_mass[:U],
+                    src_idx[:U], mask[:, :U], eps, G, compensated=comp,
+                    mode=mode, src_cell=None if src_cell is None
+                    else src_cell[:U], tgt_cell=tgt_cell, grid_sep=sep,
+                    src_quad=src_quad)
+                return a1 + a2, p1 + p2
+        a2, p2 = xla.eval_shared(
+            tgt_pos, tgt_idx, src_pos[:U], src_mass[:U], src_idx[:U],
+            mask[:, :U], eps, G, compensated=comp, mode=mode,
+            src_cell=None if src_cell is None else src_cell[:U],
+            tgt_cell=tgt_cell, grid_sep=sep, src_quad=src_quad)
+        return a1 + a2, p1 + p2
     if backend == "pallas":
         import os
         from . import pallas as pk

@@ -402,7 +402,7 @@ def _two_sum(a, b):
 
 def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
                          compensated=False, subblock=0, mode="both",
-                         grid_sep=0, cell_bits=0):
+                         grid_sep=0, cell_bits=0, quad=0):
     """Fused shared-candidate kernel: grid (C,) — one step per tile.
 
     The whole shared source row stays VMEM-resident across the grid
@@ -423,9 +423,14 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
     refs: tgt planes x ndim + tgt_idx  [1,T,1]
           (+ ONE packed tgt cell plane [1,T,1] f32 when grid_sep > 0),
           src planes x ndim + mass + idx [1,1,S] (whole row)
+          (+ `quad` second-moment planes [1,1,S] when quad > 0)
           (+ ONE packed src cell plane [1,1,S] f32 when grid_sep > 0),
           mask [1,1,S] (per tile),
           outs: acc planes x ndim + pot [1,T,1].
+
+    quad > 0 (= ndim*(ndim+1)//2): the source rows are multipole nodes;
+    adds the quadrupole correction from their raw second moments with
+    the same per-pair dead/mask gating as the monopole term.
 
     grid_sep > 0 enables the per-pair leaf-grid coverage mask (grid2):
     a pair is dead iff its Chebyshev cell separation >= grid_sep
@@ -442,9 +447,11 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
     tc_refs = refs[ndim + 1:ndim + 1 + n_cell]
     base = ndim + 1 + n_cell
     src_refs = refs[base:base + ndim + 2]
-    sc_refs = refs[base + ndim + 2:base + ndim + 2 + n_cell]
-    mask_ref = refs[base + ndim + 2 + n_cell]
-    out_refs = refs[base + ndim + 3 + n_cell:]
+    sq_refs = refs[base + ndim + 2:base + ndim + 2 + quad]
+    base2 = base + ndim + 2 + quad
+    sc_refs = refs[base2:base2 + n_cell]
+    mask_ref = refs[base2 + n_cell]
+    out_refs = refs[base2 + n_cell + 1:]
     eps2 = eps2_ref[0]
 
     def unpack_cells(p):
@@ -484,6 +491,7 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
             si = asm(src_refs[ndim + 1])
             mk = asm(mask_ref)
             scp = asm(sc_refs[0]) if grid_sep else None
+            qrows = [asm(r) for r in sq_refs]
         else:
             off = pl.multiple_of(ids_ref[c, k] * block, block)
             srows = [src_refs[d][0, :, pl.ds(off, block)]
@@ -493,6 +501,7 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
             mk = mask_ref[0, :, pl.ds(off, block)]
             scp = (sc_refs[0][0, :, pl.ds(off, block)] if grid_sep
                    else None)
+            qrows = [r[0, :, pl.ds(off, block)] for r in sq_refs]
         dxs = []
         r2 = None
         for d in range(ndim):
@@ -513,6 +522,31 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
             dead = dead | (~covered & (scp >= 0.0))
         inv_r = jnp.where(dead, 0.0, inv_r)
         w = (m * mk) * inv_r
+        if quad:
+            # quadrupole correction from raw second moments (pair
+            # vector dxs = src - tgt, the negative of the t - s frame,
+            # so odd-order terms flip sign; see xla.eval_shared).
+            inv2 = inv_r * inv_r
+            inv3 = inv2 * inv_r
+            inv5 = inv3 * inv2
+            pairs = [(a, b) for a in range(ndim) for b in range(a, ndim)]
+            trq = None
+            dqd = None
+            qdx = [None] * ndim
+            for ci, (a, b) in enumerate(pairs):
+                qc = qrows[ci]                           # (1, B)
+                coef = 1.0 if a == b else 2.0
+                t = coef * qc * dxs[a] * dxs[b]          # (T, B)
+                dqd = t if dqd is None else dqd + t
+                if a == b:
+                    trq = qc if trq is None else trq + qc
+                    qdx[a] = (qc * dxs[b] if qdx[a] is None
+                              else qdx[a] + qc * dxs[b])
+                else:
+                    qdx[a] = (qc * dxs[b] if qdx[a] is None
+                              else qdx[a] + qc * dxs[b])
+                    qdx[b] = (qc * dxs[a] if qdx[b] is None
+                              else qdx[b] + qc * dxs[a])
         # mode specialization: accs-only skips the potential reduction,
         # pots-only skips w3 and the ndim acceleration reductions
         # (reference parity gap "pots_u computes both and discards",
@@ -520,12 +554,26 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
         parts = []
         if mode in ("both", "acc"):
             w3 = w * inv_r * inv_r
-            parts += [jnp.sum(w3 * dx, axis=1, keepdims=True)
-                      for dx in dxs]
+            if quad:
+                inv7 = inv5 * inv2
+                f5 = mk * inv5
+                f7 = mk * dqd * inv7
+                parts += [jnp.sum(w3 * dx - 3.0 * qdx[d] * f5
+                                  - 1.5 * trq * dx * f5 + 7.5 * dx * f7,
+                                  axis=1, keepdims=True)
+                          for d, dx in enumerate(dxs)]
+            else:
+                parts += [jnp.sum(w3 * dx, axis=1, keepdims=True)
+                          for dx in dxs]
         else:
             parts += [None] * ndim
         if mode in ("both", "pot"):
-            parts.append(-jnp.sum(w, axis=1, keepdims=True))
+            if quad:
+                parts.append(-jnp.sum(
+                    w + mk * (1.5 * dqd * inv5 - 0.5 * trq * inv3),
+                    axis=1, keepdims=True))
+            else:
+                parts.append(-jnp.sum(w, axis=1, keepdims=True))
         else:
             parts.append(None)
         if compensated:
@@ -562,7 +610,7 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
                       eps, G, block: int = None, interpret: bool = False,
                       compensated: bool = False, subblock: int = None,
                       mode: str = "both", src_cell=None, tgt_cell=None,
-                      grid_sep: int = 0):
+                      grid_sep: int = 0, src_quad=None):
     """Fused shared-candidate evaluation (see _shared_fused_kernel).
 
     src_cell [S, D] / tgt_cell [C, T, D] int cells enable the per-pair
@@ -610,6 +658,8 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
         if grid_sep:
             src_cell = jnp.pad(src_cell, ((0, pad), (0, 0)),
                                constant_values=-1)
+        if src_quad is not None:
+            src_quad = jnp.pad(src_quad, ((0, pad), (0, 0)))
     maskf = mask.astype(jnp.float32)
     from .. import scan_utils as su
     gran = subblock if subblock else block
@@ -631,6 +681,11 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
     src_planes = [src_pos[:, d].reshape(1, 1, S) for d in range(D)]
     src_planes.append(src_mass.reshape(1, 1, S))
     src_planes.append(src_idx.reshape(1, 1, S))
+    qdim = 0
+    if src_quad is not None:
+        qdim = src_quad.shape[1]
+        src_planes += [src_quad[:, i].reshape(1, 1, S)
+                       for i in range(qdim)]
     if grid_sep:
         src_planes.append(pack_cells(src_cell).reshape(1, 1, S))
     mask3 = maskf[:, None, :]
@@ -655,7 +710,7 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
     kernel = functools.partial(_shared_fused_kernel, ndim=D, block=block,
                                compensated=compensated, subblock=subblock,
                                mode=mode, grid_sep=grid_sep,
-                               cell_bits=cell_bits)
+                               cell_bits=cell_bits, quad=qdim)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -133,7 +133,7 @@ def _two_sum(a, b):
 def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
                 eps, G, block: int = 1024, compensated: bool = False,
                 mode: str = "both", src_cell=None, tgt_cell=None,
-                grid_sep: int = 0):
+                grid_sep: int = 0, src_quad=None):
     """Shared-candidate evaluation: sources [S, ...] common to all C
     tiles, per-tile contribution mask [C, S] (traversal2). Direct
     per-component differences throughout (the mask mixes near and far
@@ -144,7 +144,11 @@ def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
     src_cell [S, D] / tgt_cell [C, T, D] (grid2 mode): per-pair leaf-
     grid coverage masking — a pair is dead iff its Chebyshev cell
     separation >= grid_sep (that part of the interaction lives in the
-    dense far field). Rows with src_cell < 0 are exempt (LET imports)."""
+    dense far field). Rows with src_cell < 0 are exempt (LET imports).
+
+    src_quad [S, Q]: raw second moments about the source COM
+    (multipole_order=2 node rows); adds the quadrupole correction with
+    the same per-pair dead/mask gating as the monopole term."""
     C, T, D = tgt_pos.shape
     S = src_pos.shape[0]
     dtype = tgt_pos.dtype
@@ -161,19 +165,26 @@ def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
     sm = sm.reshape(nblk, block)
     si = si.reshape(nblk, block)
     mk = jnp.moveaxis(mk.reshape(C, nblk, block), 1, 0)
+    blks = (sp, sm, si, mk)
     if use_cells:
         sc = jnp.pad(src_cell, ((0, pad), (0, 0)), constant_values=-1)
-        sc = sc.reshape(nblk, block, D)
-        blks = (sp, sm, si, mk, sc)
-    else:
-        blks = (sp, sm, si, mk)
+        blks = blks + (sc.reshape(nblk, block, D),)
+    if src_quad is not None:
+        Q = src_quad.shape[1]
+        sq = jnp.pad(src_quad, ((0, pad), (0, 0)))
+        blks = blks + (sq.reshape(nblk, block, Q),)
 
     def body(carry, blk):
         acc, pot, acc_c, pot_c = carry
+        blk = list(blk)
+        s, m, idx, mkb = blk[:4]             # [B,D],[B],[B],[C,B]
+        pos4 = 4
+        scb = qb = None
         if use_cells:
-            s, m, idx, mkb, scb = blk        # [B,D],[B],[B],[C,B],[B,D]
-        else:
-            s, m, idx, mkb = blk
+            scb = blk[pos4]                  # [B, D]
+            pos4 += 1
+        if src_quad is not None:
+            qb = blk[pos4]                   # [B, Q]
         dds = [s[None, None, :, d] - tgt_pos[:, :, None, d]
                for d in range(D)]
         r2 = eps2 + sum(dd * dd for dd in dds)
@@ -194,6 +205,45 @@ def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
         else:
             dacc = None
         dpot = -jnp.sum(w, axis=-1) if mode in ("both", "pot") else None
+        if qb is not None:
+            # quadrupole correction (see eval_m2p._quad_terms; here the
+            # pair vector dds = s - t, the NEGATIVE of that derivation's
+            # d = t - s, so odd-order terms flip sign). inv_r is already
+            # zeroed for dead pairs; the mask folds in per pair.
+            inv2 = inv_r * inv_r
+            inv3 = inv2 * inv_r
+            inv5 = inv3 * inv2
+            trq = jnp.zeros(qb.shape[0], dtype)
+            dqd = None
+            qdx = [None] * D
+            for ci, (a, b) in enumerate(_quad_pairs(D)):
+                qc = qb[:, ci]
+                coef = 1.0 if a == b else 2.0
+                term = coef * qc[None, None, :] * dds[a] * dds[b]
+                dqd = term if dqd is None else dqd + term
+                if a == b:
+                    trq = trq + qc
+                    qdx[a] = (qc[None, None, :] * dds[b] if qdx[a] is None
+                              else qdx[a] + qc[None, None, :] * dds[b])
+                else:
+                    qdx[a] = (qc[None, None, :] * dds[b] if qdx[a] is None
+                              else qdx[a] + qc[None, None, :] * dds[b])
+                    qdx[b] = (qc[None, None, :] * dds[a] if qdx[b] is None
+                              else qdx[b] + qc[None, None, :] * dds[a])
+            mkp = mkb[:, None, :]
+            if dpot is not None:
+                dpot = dpot - jnp.sum(
+                    mkp * (1.5 * dqd * inv5
+                           - 0.5 * trq[None, None, :] * inv3), axis=-1)
+            if dacc is not None:
+                inv7 = inv5 * inv2
+                f5 = mkp * inv5
+                f7 = mkp * dqd * inv7
+                dacc = dacc + jnp.stack(
+                    [jnp.sum(-3.0 * qdx[d] * f5
+                             - 1.5 * trq[None, None, :] * dds[d] * f5
+                             + 7.5 * dds[d] * f7, axis=-1)
+                     for d in range(D)], axis=-1)
         if compensated:
             ea = ep = 0.0
             if dacc is not None:

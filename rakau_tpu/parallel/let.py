@@ -142,7 +142,7 @@ def acc_pot_let(pos, mass, cfg: TreeConfig, theta, eps, G, mesh: Mesh,
     # ================= distributed phase 0 (sample-sort) ================
     nl = n_pad // ndev
     cap = max(1, -(-int(nl * exchange_slack) // ndev))
-    nl2 = ndev * cap
+    nl2 = nl + ndev * cap
     s_smp = min(splitter_samples, nl)
     if pad:
         # zero-mass sentinels inside the upper box corner (results
@@ -178,24 +178,39 @@ def acc_pot_let(pos, mass, cfg: TreeConfig, theta, eps, G, mesh: Mesh,
         start = su.searchsorted_1d(dest, jnp.arange(ndev, dtype=I32))
         cnt = jnp.concatenate(
             [start[1:], jnp.full((1,), nl, I32)]) - start
-        x_ovf = jnp.any(cnt > cap)
+        dev_ids = jnp.arange(ndev, dtype=I32)
+        # self-destined rows never ride the exchange (the near-sorted
+        # leapfrog steady state routes ~ALL rows to self; sizing the
+        # all_to_all for that would be O(N) per chip) — only foreign
+        # rows are capacity-bound
+        x_ovf = jnp.any((cnt > cap) & (dev_ids != me))
 
-        # ---- pack fixed-capacity send buffers [ndev, cap] --------------
+        # ---- self rows: fixed [nl] buffer, validity-masked -------------
+        kk_n = jnp.arange(nl, dtype=I32)
+        self_rows = jnp.clip(start[me] + kk_n, 0, nl - 1)
+        self_val = kk_n < cnt[me]
+        corner_p = jnp.full((ndim,), box_size * 0.4999, dtype)
+        sl_pos = jnp.where(self_val[:, None], pos_ls[self_rows], corner_p)
+        sl_mass = jnp.where(self_val, mass_ls[self_rows], 0.0)
+
+        # ---- foreign rows: fixed-capacity send buffers [ndev, cap] ----
         kk = jnp.arange(cap, dtype=I32)
         rows = jnp.clip(start[:, None] + kk[None, :], 0, nl - 1)
-        s_val = kk[None, :] < cnt[:, None]
-        corner_p = jnp.full((ndim,), box_size * 0.4999, dtype)
+        s_val = (kk[None, :] < cnt[:, None]) & (dev_ids != me)[:, None]
         e_pos = jnp.where(s_val[..., None], pos_ls[rows], corner_p)
         e_mass = jnp.where(s_val, mass_ls[rows], 0.0)
 
         # ---- the ONE data redistribution ------------------------------
-        r_pos = jax.lax.all_to_all(e_pos, axis, split_axis=0,
-                                   concat_axis=0).reshape(nl2, ndim)
-        r_mass = jax.lax.all_to_all(e_mass, axis, split_axis=0,
-                                    concat_axis=0).reshape(nl2)
-        r_val = jax.lax.all_to_all(s_val.astype(dtype), axis,
+        f_pos = jax.lax.all_to_all(e_pos, axis, split_axis=0,
+                                   concat_axis=0).reshape(-1, ndim)
+        f_mass = jax.lax.all_to_all(e_mass, axis, split_axis=0,
+                                    concat_axis=0).reshape(-1)
+        f_val = jax.lax.all_to_all(s_val.astype(dtype), axis,
                                    split_axis=0,
-                                   concat_axis=0).reshape(nl2)
+                                   concat_axis=0).reshape(-1)
+        r_pos = jnp.concatenate([sl_pos, f_pos], axis=0)
+        r_mass = jnp.concatenate([sl_mass, f_mass], axis=0)
+        r_val = jnp.concatenate([self_val.astype(dtype), f_val], axis=0)
 
         # ---- local Morton order of the received rows -------------------
         cr = _particles.discretize(r_pos, box_size, depth)
@@ -221,16 +236,22 @@ def acc_pot_let(pos, mass, cfg: TreeConfig, theta, eps, G, mesh: Mesh,
 
         # ---- route results back to their input shard -------------------
         inv_pr = _build._inv_permutation(perm_r)
-        acc_rcv = acc_m[inv_pr].reshape(ndev, cap, ndim)
-        pot_rcv = pot_m[inv_pr].reshape(ndev, cap)
-        b_acc = jax.lax.all_to_all(acc_rcv, axis, split_axis=0,
-                                   concat_axis=0)
-        b_pot = jax.lax.all_to_all(pot_rcv, axis, split_axis=0,
-                                   concat_axis=0)
+        acc_rcv = acc_m[inv_pr]                          # [nl2, D]
+        pot_rcv = pot_m[inv_pr]
+        b_acc = jax.lax.all_to_all(
+            acc_rcv[nl:].reshape(ndev, cap, ndim), axis, split_axis=0,
+            concat_axis=0)
+        b_pot = jax.lax.all_to_all(
+            pot_rcv[nl:].reshape(ndev, cap), axis, split_axis=0,
+            concat_axis=0)
         jj = jnp.arange(nl, dtype=I32)
-        slot = jnp.clip(jj - start[dest], 0, cap - 1)
-        acc_ls = b_acc[dest, slot]                       # [nl, D]
-        pot_ls = b_pot[dest, slot]
+        is_self = dest == me
+        slot = jj - start[dest]
+        slot_f = jnp.clip(slot, 0, cap - 1)
+        slot_s = jnp.clip(slot, 0, nl - 1)
+        acc_ls = jnp.where(is_self[:, None], acc_rcv[slot_s],
+                           b_acc[dest, slot_f])          # [nl, D]
+        pot_ls = jnp.where(is_self, pot_rcv[slot_s], b_pot[dest, slot_f])
         inv_pl = _build._inv_permutation(perm_l)
         exp_ovf = exp_ovf | jax.lax.pmax(
             x_ovf.astype(I32), axis).astype(bool)

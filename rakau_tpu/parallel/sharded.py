@@ -28,7 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .. import traversal
 from ..build import TreeData, build_tree
 from ..config import TreeConfig
-from ..engine import _eval_chunk, _gather_tiles
+from ..engine import _eval_chunk, _gather_tiles, _make_tables, _split_tiles
 
 I32 = jnp.int32
 
@@ -43,20 +43,29 @@ def default_mesh(n_devices: Optional[int] = None, axis: str = "shards"
 
 
 def _chunked_eval(td: TreeData, cfg: TreeConfig, theta, eps, G,
-                  tiles_pos, tiles_idx, box_lo, box_hi, tiles_cell):
+                  tiles, tables=None):
     """Traverse+eval a [n_chunks, CH, ...] stack of tile chunks (the body
-    shared with the single-chip engine)."""
+    shared with the single-chip engine). `tables` are the packed shared-
+    traversal node tables, built ONCE per query and passed through so
+    the chunk loop never rebuilds them (VERDICT r1: the tables=None path
+    relied on XLA hoisting, unverified under shard_map)."""
     dtype = td.pos.dtype
+    _, gx = _split_tiles(tiles)
 
     def chunk_fn(args):
-        tpos, tidx, blo, bhi, tcell = args
+        if gx is not None:
+            tpos, tidx, blo, bhi, tcell, tpc, clo, chi = args
+            tcells = (tpc, clo, chi)
+        else:
+            tpos, tidx, blo, bhi, tcell = args
+            tcells = None
         acc, pot, ovf, _mx = _eval_chunk(td, cfg, theta, eps, G, dtype,
                                          tpos, tidx, blo, bhi,
-                                         tcell=tcell)
+                                         tables=tables, tcell=tcell,
+                                         tcells=tcells)
         return acc, pot, tidx, ovf
 
-    return jax.lax.map(chunk_fn, (tiles_pos, tiles_idx, box_lo, box_hi,
-                                  tiles_cell))
+    return jax.lax.map(chunk_fn, tiles)
 
 
 def acc_pot_u_sharded(td: TreeData, cfg: TreeConfig, theta, eps, G,
@@ -72,11 +81,11 @@ def acc_pot_u_sharded(td: TreeData, cfg: TreeConfig, theta, eps, G,
         # grids; fall back to the tile-local expansion rules (same
         # envelope, no stencil coverage to subtract).
         cfg = cfg.with_(farfield="local")
-    tiles_pos, tiles_idx, box_lo, box_hi, tiles_cell = _gather_tiles(
-        td, cfg)
+    tiles = _gather_tiles(td, cfg)
+    tables = _make_tables(td, cfg)
     # [n_chunks, CH, ...] -> pad chunk axis to a multiple of ndev and
     # shard it.
-    nc = tiles_pos.shape[0]
+    nc = tiles[0].shape[0]
     nc_pad = (-nc) % ndev
 
     def padc(a, fill):
@@ -84,18 +93,16 @@ def acc_pot_u_sharded(td: TreeData, cfg: TreeConfig, theta, eps, G,
             [a, jnp.full((nc_pad,) + a.shape[1:], fill, a.dtype)], axis=0)
 
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    tiles_pos = padc(tiles_pos, 0)
-    tiles_idx = padc(tiles_idx, n)      # padding targets dropped on scatter
-    box_lo = padc(box_lo, big)
-    box_hi = padc(box_hi, -big)
-    tiles_cell = padc(tiles_cell, 0)
+    fills = [0, n, big, -big, 0, 0, 0, -1]   # idx n dropped on scatter;
+    # grid2 extras: cells 0, clo 0, chi -1 (inverted empty cell range)
+    tiles = tuple(padc(a, f) for a, f in zip(tiles, fills))
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+             in_specs=(P(), P(),) + (P(axis),) * len(tiles),
              out_specs=(P(), P(), P()))
-    def run(td_rep, tpos, tidx, blo, bhi, tcell):
+    def run(td_rep, tables_rep, *tiles_l):
         acc_c, pot_c, tidx_c, ovf = _chunked_eval(
-            td_rep, cfg, theta, eps, G, tpos, tidx, blo, bhi, tcell)
+            td_rep, cfg, theta, eps, G, tiles_l, tables=tables_rep)
         flat_idx = tidx_c.reshape(-1)
         acc_u = jnp.zeros((n, ndim), dtype).at[flat_idx].set(
             acc_c.reshape(-1, ndim), mode="drop")
@@ -107,7 +114,14 @@ def acc_pot_u_sharded(td: TreeData, cfg: TreeConfig, theta, eps, G,
         ovf4 = jax.lax.pmax(jnp.any(ovf, axis=0).astype(jnp.int32), axis)
         return acc_u, pot_u, ovf4.astype(bool)
 
-    return run(td, tiles_pos, tiles_idx, box_lo, box_hi, tiles_cell)
+    acc_u, pot_u, ovf = run(td, tables, *tiles)
+    if cfg.farfield == "grid2":
+        # dense conv-M2L far field: once, replicated (cheap vs the walk)
+        from .. import grid2
+        acc_f, pot_f = grid2.far_field(td, cfg, eps, G)
+        acc_u = acc_u + acc_f
+        pot_u = pot_u + pot_f
+    return acc_u, pot_u, ovf
 
 
 def acc_pot_sharded(pos, mass, cfg: TreeConfig, theta, eps, G, mesh: Mesh,

@@ -46,6 +46,9 @@ class SharedSources(NamedTuple):
     cell: jnp.ndarray = None  # [S, D] int32 leaf-grid cell (grid2 mode
                               # only): the per-pair coverage test operand;
                               # -1 marks rows exempt from the test
+    quad: jnp.ndarray = None  # [m2p_cap, Q] raw second moments of the
+                              # M2P node rows (multipole_order>=2 only);
+                              # the kernels' quadrupole correction operand
 
 
 def _point_dist2(lo, hi, p):
@@ -113,6 +116,8 @@ def make_tables(td: TreeData, cfg: TreeConfig) -> TraversalTables:
     nm_cols = [ff[:, :3], td.node_mass[:, None]]
     if L0 > 0:
         nm_cols.append(cpack.astype(dtype)[:, None])
+    if cfg.multipole_order >= 2:
+        nm_cols.append(td.node_quad)
     nm = jnp.concatenate(nm_cols, axis=1)
     pmc = [td.pos[:, d] for d in range(D)]
     pmc += [jnp.zeros(n, dtype)] * (3 - D) + [td.mass]
@@ -202,8 +207,11 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
                 sep = jnp.maximum(sep, sd)
             use = use & (sep < S_sep)                   # covered -> drop
             acc = acc & (lvl >= L0)[None, :]            # never accept above
+        # zero-mass nodes source nothing: never accept AND never open
+        # (keeps padding-sentinel subtrees — LET exchange slots, uneven-N
+        # fill — out of the walk, the lists, and the export sets)
         accepted = acc & use & (mass > 0)[None, :]
-        opened = (~acc) & use
+        opened = (~acc) & use & (mass > 0)[None, :]
         m2p_m = accepted.T                              # [K, C]
         p2p_m = (opened & leaf[None, :]).T
         next_a = (opened & (~leaf)[None, :]).T
@@ -307,6 +315,12 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
         fmask = (1 << L0) - 1
         m_cell = jnp.stack([(cp >> (d * L0)) & fmask for d in range(D)],
                            axis=1)                       # [ucap, D]
+    m_quad = None
+    if cfg.multipole_order >= 2:
+        qoff = 5 if (use_grid and L0 > 0) else 4
+        qdim = D * (D + 1) // 2
+        m_quad = jnp.where(uvalid[:, None],
+                           m_row[:, qoff:qoff + qdim], 0.0)  # [ucap, Q]
 
     # P2P rows: leaves opened by >= 1 tile, expanded to their particles
     pcap = cfg.p2p_src_cap
@@ -342,7 +356,8 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     p_pos = jnp.where(rvalid[:, None], p_row[:, :D], sentinel)
     p_mass = jnp.where(rvalid, p_row[:, 3], 0.0)
     leaf_mask = p2p_flat[lidx_c] & lvalid[:, None]       # [lcap, C]
-    p_mask = leaf_mask[row_c] & rvalid[:, None]          # [pcap, C]
+    p_mask = (leaf_mask[row_c] & rvalid[:, None]
+              & (p_mass > 0)[:, None])                   # [pcap, C]
     p_cell = None
     if use_grid:
         # Leaves ABOVE the grid level span several leaf-grid cells; their
@@ -376,4 +391,4 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
         count=jnp.minimum(ucnt, ucap) + jnp.minimum(total_p, pcap),
         overflow=jnp.stack([ovf_uni, ovf_leaf, ovf_p2p, ovf_frontier]),
         maxima=jnp.stack([ucnt, ucnt + total_p, f_max]),
-        cell=cell)
+        cell=cell, quad=m_quad)

@@ -64,3 +64,58 @@ def test_let_uneven_n():
                                         eps=0.02)
     assert rms(rel_vec_err(np.asarray(acc), acc_d)) < 1e-2
     assert acc.shape == (n, 3)
+
+
+def test_let_phase0_distributed_matches_global():
+    """The sample-sort phase 0 must agree with the replicated-global-sort
+    reference path to fp noise: domain boundaries differ (splitters vs
+    equal counts) but both stay inside the MAC envelope and the result
+    routing must be exact per particle."""
+    n = 4096
+    pos, mass = particles.plummer(jax.random.PRNGKey(7), n)
+    theta, eps = 0.6, 0.01
+    mesh = sharded.default_mesh(8)
+    a_d, p_d, ovf_d, xo_d = let.acc_pot_let(
+        pos, mass, CFG, jnp.float32(theta), jnp.float32(eps), 1.0, mesh,
+        export_cap=8192, phase0="distributed")
+    a_g, p_g, ovf_g, xo_g = let.acc_pot_let(
+        pos, mass, CFG, jnp.float32(theta), jnp.float32(eps), 1.0, mesh,
+        export_cap=8192, phase0="global")
+    assert not bool(np.asarray(ovf_d).any()) and not bool(xo_d)
+    assert not bool(np.asarray(ovf_g).any()) and not bool(xo_g)
+    acc_d, _ = direct.direct_acc_pot_np(np.asarray(pos), np.asarray(mass),
+                                        eps=eps)
+    e_dist = rms(rel_vec_err(np.asarray(a_d), acc_d))
+    e_glob = rms(rel_vec_err(np.asarray(a_g), acc_d))
+    assert e_dist < max(1.5 * e_glob, 2e-3), (e_dist, e_glob)
+    # cross-path agreement: domain boundaries differ (splitters vs equal
+    # counts) so MAC decisions differ near boundaries, but both must stay
+    # within a shared envelope of each other
+    assert rms(rel_vec_err(np.asarray(a_d), np.asarray(a_g))) < 3e-3
+
+
+def test_let_exchange_overflow_flag():
+    """Extreme imbalance (all particles in one octant corner) must raise
+    the exchange-capacity overflow flag rather than truncate silently."""
+    n = 4096
+    rng = np.random.default_rng(5)
+    pos = (rng.uniform(0.48, 0.49, size=(n, 3)) - 0.0).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, size=n).astype(np.float32)
+    mesh = sharded.default_mesh(8)
+    # box centered at origin: all particles live in one corner cell range
+    # -> nearly every row routes to one shard; slack 1.0 cannot hold it
+    _, _, _, exp_ovf = let.acc_pot_let(
+        jnp.asarray(pos), jnp.asarray(mass), CFG, jnp.float32(0.6),
+        jnp.float32(0.02), 1.0, mesh, export_cap=8192,
+        phase0="distributed", exchange_slack=1.0, box_size=2.0)
+    assert bool(exp_ovf)
+    # a big enough slack absorbs the imbalance and the result is sound
+    acc, _, ovf, exp_ovf2 = let.acc_pot_let(
+        jnp.asarray(pos), jnp.asarray(mass), CFG, jnp.float32(0.6),
+        jnp.float32(0.02), 1.0, mesh, export_cap=8192,
+        phase0="distributed", exchange_slack=8.0, box_size=2.0)
+    assert not bool(exp_ovf2) and not bool(np.asarray(ovf).any())
+    acc_o, _ = direct.direct_acc_pot_np(np.asarray(pos, np.float64),
+                                        np.asarray(mass, np.float64),
+                                        eps=0.02)
+    assert rms(rel_vec_err(np.asarray(acc), acc_o)) < 1e-2

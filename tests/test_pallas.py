@@ -103,6 +103,39 @@ def test_pallas_shared_fused_matches_xla(rng):
     assert not np.asarray(a1)[2].any() and not np.asarray(p1)[2].any()
 
 
+def test_pallas_shared_fused_quad_matches_xla(rng):
+    """Quadrupole source rows (multipole_order=2 M2P segment): the fused
+    kernel's in-kernel quadrupole correction must match the XLA shared
+    kernel's, including mask gating and self exclusion."""
+    C, T, S, n = 4, 32, 192, 2000
+    tgt_pos = jnp.asarray(rng.standard_normal((C, T, 3)), jnp.float32)
+    tgt_idx = jnp.asarray(
+        rng.choice(n, size=(C, T), replace=False).astype(np.int32))
+    src_pos = jnp.asarray(2.0 + rng.standard_normal((S, 3)), jnp.float32)
+    src_mass = jnp.asarray(rng.uniform(0.1, 1, S), jnp.float32)
+    src_idx = jnp.full(S, -1, jnp.int32)
+    mask = jnp.asarray(rng.uniform(size=(C, S)) < 0.4)
+    mask = mask.at[:, 64:128].set(False)   # a dead block (block=64)
+    # plausible raw second moments: Q = m * d d^T for random offsets d
+    d = rng.standard_normal((S, 3)) * 0.1
+    q_cols = [d[:, a] * d[:, b] for a in range(3) for b in range(a, 3)]
+    src_quad = jnp.asarray(np.stack(q_cols, 1)
+                           * np.asarray(src_mass)[:, None], jnp.float32)
+    a1, p1 = pk.eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass,
+                                  src_idx, mask, 0.01, 1.0, block=64,
+                                  interpret=True, src_quad=src_quad)
+    a2, p2 = xk.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx,
+                            mask, 0.01, 1.0, block=64, src_quad=src_quad)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=2e-4,
+                               atol=2e-5)
+    # and the quad correction actually changed the answer
+    a0, _ = xk.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx,
+                           mask, 0.01, 1.0, block=64)
+    assert np.abs(np.asarray(a2) - np.asarray(a0)).max() > 1e-6
+
+
 def test_compensated_accumulation(rng):
     """TwoSum block accumulation must agree with an fp64 reference better
     than plain fp32 on a long, cancellation-heavy source list."""
