@@ -55,6 +55,10 @@ def main():
         frontier_cap=int(os.environ.get("RAKAU_BENCH_FCAP", 1024)),
         farfield=os.environ.get("RAKAU_BENCH_FARFIELD", "grid"),
         accum=os.environ.get("RAKAU_BENCH_ACCUM", "fp32"),
+        traversal_mode=os.environ.get("RAKAU_BENCH_TRAVERSAL", "shared"),
+        local_order=int(os.environ.get("RAKAU_BENCH_ORDER", 3)),
+        grid_sep=int(os.environ.get("RAKAU_BENCH_SEP", 3)),
+        multipole_order=int(os.environ.get("RAKAU_BENCH_MPOLE", 0)),
     )
     if os.environ.get("RAKAU_BENCH_GRIDLEVEL"):
         cfg = cfg.with_(grid_level=int(os.environ["RAKAU_BENCH_GRIDLEVEL"]))
@@ -123,6 +127,24 @@ def main():
 
     evals_per_sec = n / query_s
 
+    # --- kernel useful-pair density (VERDICT r1 item 8): the single
+    # number that says whether traversal restructuring is working ---
+    density_aux = {}
+    if (cfg.traversal_mode == "shared" and cfg.multipole_order < 2
+            and os.environ.get("RAKAU_BENCH_DENSITY", "1") != "0"):
+        try:
+            from rakau_tpu import metrics
+            ds = metrics.collect_shared_density(td, cfg, theta, eps=eps)
+            density_aux = {
+                "kernel_density": ds.density,
+                "slot_density": ds.slot_density,
+                "useful_pairs_per_particle": ds.pairs_per_particle,
+                "useful_pairs_per_sec": ds.useful_pairs / query_s,
+                "processed_pairs_per_sec": ds.processed_pairs / query_s,
+            }
+        except Exception as e:  # diagnostics must never fail the bench
+            density_aux = {"kernel_density_error": repr(e)}
+
     # --- sampled accuracy vs fp64 oracle ---
     n_sample = min(256, n)
     rng = np.random.default_rng(1)
@@ -153,6 +175,7 @@ def main():
             "n_nodes": int(td.n_nodes),
             "n_tiles": int(td.n_tiles),
             "farfield": cfg.farfield,
+            **density_aux,
         },
     }
     print(json.dumps(out))

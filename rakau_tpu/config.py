@@ -66,7 +66,11 @@ class TreeConfig:
     tile_chunk: int = 64
     multipole_order: int = 0
     kernel_backend: str = "auto"  # "auto" | "xla" | "pallas"
-    traversal_mode: str = "shared"  # "shared" | "lists"
+    # "shared": per-chunk union walk with exact per-tile masks
+    # (traversal2); "lmac": walk-free monotone local-MAC predicate
+    # (traversal3 — strictly tighter acceptance than bh at equal theta);
+    # "lists": per-tile interaction lists (traversal.py).
+    traversal_mode: str = "shared"  # "shared" | "lists" | "lmac"
     # Far-field handling (shared traversal only): "local" accumulates
     # MAC-accepted nodes that are far relative to the target tile into a
     # tile-local Taylor expansion (M2L+L2P, expansion.py) and keeps only
@@ -119,16 +123,16 @@ class TreeConfig:
             raise ValueError("multipole_order must be 0 (monopole) or 2 (quadrupole)")
         if self.kernel_backend not in ("auto", "xla", "pallas"):
             raise ValueError("kernel_backend must be auto|xla|pallas")
-        if self.traversal_mode not in ("shared", "lists"):
-            raise ValueError("traversal_mode must be shared|lists")
+        if self.traversal_mode not in ("shared", "lists", "lmac"):
+            raise ValueError("traversal_mode must be shared|lists|lmac")
         if self.farfield not in ("local", "m2p", "grid", "grid2"):
             raise ValueError("farfield must be local|m2p|grid|grid2")
         if self.farfield == "grid2":
-            if self.traversal_mode != "shared" or self.multipole_order >= 2:
+            if self.traversal_mode not in ("shared", "lmac"):
                 raise ValueError(
                     "farfield='grid2' requires traversal_mode='shared' "
-                    "and multipole_order<2 (the walk's coverage drops "
-                    "and per-pair kernel masks live there)")
+                    "or 'lmac' (the coverage drops and per-pair kernel "
+                    "masks live there)")
             if not (2 <= self.local_order <= 8):
                 raise ValueError("grid2 local_order must be in [2, 8]")
             gq = self.grid_multipole_order

@@ -27,6 +27,27 @@ from .config import TreeConfig
 I32 = jnp.int32
 
 
+def _use_shared(cfg: TreeConfig) -> bool:
+    """Shared-candidate traversal applies ("shared" union walk or "lmac"
+    walk-free local MAC — both produce SharedSources). Quadrupole
+    (multipole_order=2) rides the shared path for farfield 'm2p'/'grid2'
+    (the M2P node rows carry their second moments into the kernels'
+    quadrupole correction); with 'local'/'grid' far fields the tile-local
+    Taylor expansions are monopole-sourced, so quadrupole falls back to
+    the per-tile list traversal to keep its accuracy claim honest."""
+    if cfg.traversal_mode not in ("shared", "lmac"):
+        return False
+    return cfg.multipole_order < 2 or cfg.farfield in ("m2p", "grid2")
+
+
+def _traversal_mod(cfg: TreeConfig):
+    if cfg.traversal_mode == "lmac":
+        from . import traversal3
+        return traversal3
+    from . import traversal2
+    return traversal2
+
+
 def _gather_tiles(td: TreeData, cfg: TreeConfig):
     """Gather per-tile targets from the critical-node tile table.
 
@@ -133,16 +154,15 @@ def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
     far field itself (per-particle L2P) is NOT added here; it is
     computed once per query outside the chunk loop."""
     from .kernels import dispatch  # late import to avoid cycles
-    if (cfg.traversal_mode == "shared" and cfg.multipole_order < 2
-            and cfg.farfield == "grid2"):
-        from . import traversal2
+    if _use_shared(cfg) and cfg.farfield == "grid2":
+        traversal_mod = _traversal_mod(cfg)
         n = td.pos.shape[0]
         tvalid = tidx[:, 0] < n
         tpcell, clo, chi = tcells
-        src = traversal2.build_shared_sources(td, cfg, theta, blo, bhi,
-                                              tables=tables,
-                                              tile_valid=tvalid,
-                                              tcell_lo=clo, tcell_hi=chi)
+        src = traversal_mod.build_shared_sources(td, cfg, theta, blo, bhi,
+                                                 tables=tables,
+                                                 tile_valid=tvalid,
+                                                 tcell_lo=clo, tcell_hi=chi)
         src_pos, src_mass, src_idx = src.pos, src.mass, src.idx
         mask, cell = src.mask, src.cell
         if extra is not None:
@@ -162,16 +182,17 @@ def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
                                     -1, I32)], axis=0)
         acc, pot = dispatch.eval_shared(
             cfg, tpos, tidx, src_pos, src_mass, src_idx, mask, eps, G,
-            mode=mode, src_cell=cell, tgt_cell=tpcell)
+            mode=mode, src_cell=cell, tgt_cell=tpcell, src_quad=src.quad)
         return acc, pot, src.overflow, src.maxima
-    if cfg.traversal_mode == "shared" and cfg.multipole_order < 2:
-        from . import expansion, traversal2
+    if _use_shared(cfg):
+        from . import expansion
+        traversal_mod = _traversal_mod(cfg)
         n = td.pos.shape[0]
         tvalid = tidx[:, 0] < n
-        src = traversal2.build_shared_sources(td, cfg, theta, blo, bhi,
-                                              tables=tables,
-                                              tile_cell=tcell,
-                                              tile_valid=tvalid)
+        src = traversal_mod.build_shared_sources(td, cfg, theta, blo, bhi,
+                                                 tables=tables,
+                                                 tile_cell=tcell,
+                                                 tile_valid=tvalid)
         mask = src.mask
         acc_l = pot_l = None
         if cfg.farfield in ("local", "grid"):
@@ -226,7 +247,7 @@ def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
             mask = jnp.concatenate([mask, near_e], axis=1)
         acc, pot = dispatch.eval_shared(
             cfg, tpos, tidx, src_pos, src_mass, src_idx, mask, eps, G,
-            mode=mode)
+            mode=mode, src_quad=src.quad)
         if acc_l is not None:
             acc = acc + acc_l
             pot = pot + pot_l
@@ -316,9 +337,8 @@ def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0,
 # --------------------------------------------------------------------------
 
 def _make_tables(td, cfg):
-    if cfg.traversal_mode == "shared" and cfg.multipole_order < 2:
-        from . import traversal2
-        return traversal2.make_tables(td, cfg)
+    if _use_shared(cfg):
+        return _traversal_mod(cfg).make_tables(td, cfg)
     return None
 
 

@@ -77,6 +77,126 @@ def collect_query_stats(td: TreeData, cfg: TreeConfig, theta,
     )
 
 
+@dataclass
+class SharedDensityStats:
+    """Useful-pair density of the fused shared-candidate kernel.
+
+    `useful_pairs` counts (valid target, mask-on source) pairs — the
+    physics the query actually needs. `processed_pairs` counts the pairs
+    the fused Pallas kernel computes after its per-tile active-block
+    compaction (cnt x block x T per tile) — the work it really does.
+    Their ratio `density` is THE number that says whether traversal
+    restructuring is working (VERDICT r1 item 8): at density ~1 the
+    kernel's pair rate IS the useful rate. `slot_pairs` is the
+    uncompacted S*T*C slot count (what a mask-oblivious kernel would
+    compute). Grid2's in-kernel cell-coverage kills (covered pairs) are
+    counted as useful here — they are mask-on; the coverage test is a
+    per-pair refinement inside a block that compaction cannot skip."""
+    useful_pairs: float
+    processed_pairs: float
+    slot_pairs: float
+    density: float                # useful / processed
+    slot_density: float           # useful / slot
+    pairs_per_particle: float     # useful / N
+    chunks_sampled: int
+    block: int
+    subblock: int
+
+    def as_dict(self) -> Dict:
+        return self.__dict__.copy()
+
+
+def collect_shared_density(td: TreeData, cfg: TreeConfig, theta,
+                           eps=0.0, max_chunks: int = 8
+                           ) -> SharedDensityStats:
+    """Measure fused-kernel useful-pair density on sampled tile chunks.
+
+    Replays the shared traversal (traversal2.build_shared_sources) and
+    the engine's far/near mask gating for `max_chunks` chunks, then
+    replicates eval_shared_fused's block compaction arithmetic on the
+    masks — no kernel launch, so it is cheap enough to run inside the
+    benchmark harness. Requires cfg.traversal_mode == 'shared'."""
+    import os
+    if not engine._use_shared(cfg):
+        raise ValueError("density stats require the shared traversal")
+    from . import expansion
+    traversal2 = engine._traversal_mod(cfg)
+    n = int(td.pos.shape[0])
+    tiles, tables = engine._tiles_jit(td, cfg)
+    (tpos_a, tidx_a, blo_a, bhi_a, tcell_a), gx = engine._split_tiles(tiles)
+    n_chunks = tidx_a.shape[0]
+    CH = tidx_a.shape[1]
+    n_live = max(1, min(-(-int(td.n_tiles) // CH), n_chunks))
+    T = cfg.ncrit
+
+    # mirror eval_shared_fused's block/subblock resolution
+    grid2_mode = cfg.farfield == "grid2"
+    block = int(os.environ.get("RAKAU_PALLAS_BLOCK",
+                               512 if grid2_mode else 1024))
+    subblock = int(os.environ.get("RAKAU_PALLAS_SUBBLOCK", 0))
+
+    @jax.jit
+    def chunk_stats(tpos, tidx, blo, bhi, tcell, clo, chi):
+        tvalid = tidx[:, 0] < n
+        kw = dict(tables=tables, tile_valid=tvalid)
+        if grid2_mode:
+            kw.update(tcell_lo=clo, tcell_hi=chi)
+        else:
+            kw.update(tile_cell=tcell)
+        src = traversal2.build_shared_sources(
+            td, cfg, jnp.asarray(theta, td.pos.dtype), blo, bhi, **kw)
+        mask = src.mask                                   # [C, S]
+        if cfg.farfield in ("local", "grid"):
+            U = cfg.m2p_cap
+            center = 0.5 * (blo + bhi)
+            rad2 = jnp.sum((0.5 * (bhi - blo)) ** 2, axis=-1)
+            _, near = expansion.far_split(
+                center, rad2, src.pos[:U], src.mass[:U], mask[:, :U],
+                cfg.local_gamma)
+            mask = jnp.concatenate([near, mask[:, U:]], axis=1)
+        tcnt = jnp.sum(tidx < n, axis=1).astype(jnp.float32)   # [C]
+        useful = jnp.sum(jnp.sum(mask, axis=1).astype(jnp.float32) * tcnt)
+        # fused-kernel compaction arithmetic (pallas.eval_shared_fused)
+        S0 = mask.shape[1]
+        blk = min(block, max(128, S0))
+        sb = subblock
+        if sb >= blk or (sb and blk % sb):
+            sb = 0
+        want = S0 + (sb if sb else 0)
+        nb = -(-want // blk)
+        pad = nb * blk - S0
+        m = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, pad)))
+        gran = sb if sb else blk
+        ng = (nb * blk) // gran
+        blk_any = m.reshape(m.shape[0], ng, gran).sum(axis=2) > 0
+        cnt = jnp.sum(blk_any, axis=1)
+        if sb:
+            cnt = -(-cnt // (blk // sb))
+        processed = jnp.sum(cnt).astype(jnp.float32) * blk * T
+        return useful, processed, mask.shape[1]
+
+    take = min(n_live, max_chunks)
+    useful = processed = slots = 0.0
+    for c in range(take):
+        clo = gx[1][c] if gx is not None else None
+        chi = gx[2][c] if gx is not None else None
+        u, p, s0 = chunk_stats(tpos_a[c], tidx_a[c], blo_a[c], bhi_a[c],
+                               tcell_a[c], clo, chi)
+        useful += float(u)
+        processed += float(p)
+        slots += float(CH * s0 * T)
+    scale = n_live / take
+    useful *= scale
+    processed *= scale
+    slots *= scale
+    return SharedDensityStats(
+        useful_pairs=useful, processed_pairs=processed, slot_pairs=slots,
+        density=useful / max(processed, 1.0),
+        slot_density=useful / max(slots, 1.0),
+        pairs_per_particle=useful / max(n, 1),
+        chunks_sampled=take, block=block, subblock=subblock)
+
+
 def fitted_caps(stats: QueryStats, slack: float = 1.25,
                 quantum: int = 512) -> Dict[str, int]:
     """Shrink-to-fit capacities from measured maxima (adaptive-static

@@ -1,0 +1,412 @@
+"""Walk-free shared-candidate traversal via a monotone local MAC
+(`traversal_mode="lmac"`).
+
+traversal2's union walk still pays per-round taxes that dominate device
+time at scale (measured @1M: ~4.4 ms walk + ~7 ms materialization vs
+~4.5 ms kernel per 64-tile chunk): per-round [C, K] decision panels,
+frontier compaction scatters, and [K, W] node-row gathers. This module
+removes the walk entirely by restructuring the MAC so that membership in
+the interaction set is a PURE PER-NODE PREDICATE — one fused elementwise
+pass over the flat node table per chunk, one compaction, one row gather.
+
+The key is a *monotone* acceptance criterion measured box-to-box:
+
+    A(t, v) :=  dist_min(tile_box_t, cell_box_v)^2  >  R_v^2,
+    R_v     :=  edge_v / theta  (+ delta_v for mac="bh_geom").
+
+Because a child's cell box is contained in its parent's and R halves
+with the edge, A(t, parent) implies A(t, child) — exactly (for bh_geom
+this additionally needs delta_c <= delta_p + edge_p/(2 theta), which
+holds whenever theta <= 2/sqrt(D) since delta <= sqrt(D)/2 * edge; the
+engine asserts theta within that range for lmac+bh_geom). Along any
+root-to-leaf path A is therefore 0...0 1...1 with a unique transition,
+so the classic path-dependent walk collapses to a local rule:
+
+    tile t takes node v as M2P  iff  A(t, v) and not A(t, parent(v));
+    tile t takes leaf v as P2P  iff  not A(t, v).
+
+Every unit of mass is counted exactly once (the transition node), with
+NO traversal state. Accuracy: A is *stricter* than the reference's
+COM-distance bh test (dist_min to the cell box <= dist to the COM), so
+the error envelope is at most the walk's at equal theta; equal-error
+operating points sit at a larger theta (~ +0.2 at theta=0.75).
+
+Chunk-level candidate selection is the same rule evaluated conservatively
+against the chunk's bounding box (dist_min for "some tile might open",
+dist_max for "every tile accepts"), giving a per-node relevance bit; the
+compacted survivors become the chunk's shared source rows and the exact
+per-tile masks are ONE dense elementwise [C, S] panel — the kernels and
+the engine's far-field gates consume the result through the same
+SharedSources contract as traversal2.
+
+grid2/grid far fields compose exactly as in traversal2: acceptance is
+additionally gated to levels >= L0 (A_g(t,v) := A(t,v) and lvl_v >= L0,
+still monotone since levels increase downward), and stencil-covered
+pairs (cell separation >= S at the node's effective grid level) are
+dropped; coverage persists under refinement (grid2.py), so the combined
+predicate A_full = A_g or covered stays monotone and the partition
+argument is unchanged.
+
+Reference mapping (SURVEY.md C7): this replaces the recursive/stack
+traversal and interaction-list machinery; rakau resolves path dependence
+with per-thread stacks, the TPU answer is to make the criterion
+path-free.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import scan_utils as su
+from .build import TreeData
+from .config import TreeConfig, MAC_BH_GEOM
+from .traversal2 import SharedSources, _grid_l0, _grid_sep
+
+I32 = jnp.int32
+
+
+class LmacTables:
+    """Packed per-node table for the predicate pass and row gathers.
+
+    lm [M, W] f32 columns (D = ndim, Q = quad dim if multipole_order>=2):
+      0..D-1      com                  (kernel source position)
+      D           mass                 (0 for invalid/sentinel nodes)
+      D+1..2D     center               (own cell-box center)
+      2D+1        lvl + 64*leaf_flag
+      2D+2        plvl                 (parent level; -9 for the root so
+                                        R_parent is effectively infinite)
+      2D+3        delta  (bh_geom COM offset; else 0)
+      2D+4        pdelta (parent's delta; else 0)
+      2D+5        cellpack (effective grid cell, D x L0-bit fields; 0 if
+                            no grid far field)
+      2D+6..3D+5  pcenter              (parent cell-box center)
+      3D+6..      quad (Q cols, multipole_order>=2 only)
+    pm [N, 4] f32: particle pos (padded to 3) + mass (P2P row gather).
+    """
+
+    def __init__(self, lm, pm, ndim, L0):
+        self.lm = lm
+        self.pm = pm
+        self.ndim = ndim
+        self.L0 = L0
+
+    # pytree protocol so tables pass through jit boundaries like the
+    # traversal2 NamedTuple does
+    def tree_flatten(self):
+        return (self.lm, self.pm), (self.ndim, self.L0)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        lm, pm = children
+        return cls(lm, pm, aux[0], aux[1])
+
+
+jax.tree_util.register_pytree_node(
+    LmacTables, LmacTables.tree_flatten, LmacTables.tree_unflatten)
+
+
+def make_tables(td: TreeData, cfg: TreeConfig) -> LmacTables:
+    dtype = td.pos.dtype
+    M = td.node_level.shape[0]
+    n, D = td.pos.shape
+    L0 = _grid_l0(cfg, n)
+    box = td.box_size
+
+    lvl = td.node_level
+    leaf = td.node_is_leaf
+    # effective grid cell at min(level, L0), packed D x L0-bit fields
+    sh = jnp.maximum(lvl - L0, 0)
+    cpack = jnp.zeros(M, I32)
+    if L0 > 0:
+        for d in range(D):
+            cpack = cpack | ((td.node_cell[:, d] >> sh) << (d * L0))
+
+    # parent cell-box center: closed form from own cell coords (children
+    # live inside their parent's cell), no parent gather needed
+    plvl = jnp.maximum(lvl - 1, 0)
+    pcs = box * jnp.exp2(-plvl.astype(dtype))
+    pcenter = ((td.node_cell >> 1).astype(dtype) + 0.5) * pcs[:, None] \
+        - box / 2
+    is_root = jnp.arange(M, dtype=I32) == 0
+    pcenter = jnp.where(is_root[:, None], td.node_center, pcenter)
+    plvl_f = jnp.where(is_root, -9.0, (lvl - 1).astype(dtype))
+
+    if cfg.mac == MAC_BH_GEOM:
+        delta = td.node_delta
+        pdelta = jnp.where(is_root, 0.0, td.node_delta[td.node_parent])
+    else:
+        delta = jnp.zeros(M, dtype)
+        pdelta = delta
+
+    cols = [td.node_com[:, d] for d in range(D)]
+    cols.append(td.node_mass)
+    cols += [td.node_center[:, d] for d in range(D)]
+    cols.append((lvl + 64 * leaf.astype(I32)).astype(dtype))
+    cols.append(plvl_f)
+    cols.append(delta)
+    cols.append(pdelta)
+    cols.append(cpack.astype(dtype))
+    cols += [pcenter[:, d] for d in range(D)]
+    lm = jnp.stack(cols, axis=1)
+    if cfg.multipole_order >= 2:
+        lm = jnp.concatenate([lm, td.node_quad], axis=1)
+
+    pmc = [td.pos[:, d] for d in range(D)]
+    pmc += [jnp.zeros(n, dtype)] * (3 - D) + [td.mass]
+    pm = jnp.stack(pmc, axis=1)
+    return LmacTables(lm=lm, pm=pm, ndim=D, L0=L0)
+
+
+def _box_dist2_min(alo, ahi, blo, bhi):
+    """Min squared distance between boxes [..., D] (broadcasting)."""
+    d = jnp.maximum(jnp.maximum(blo - ahi, alo - bhi), 0.0)
+    return jnp.sum(d * d, axis=-1)
+
+
+def _box_dist2_max_pt(alo, ahi, blo, bhi):
+    """max over a in A of dist(a, B)^2 (for the every-tile-accepts test)."""
+    d = jnp.maximum(jnp.maximum(blo - alo, ahi - bhi), 0.0)
+    return jnp.sum(d * d, axis=-1)
+
+
+def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
+                         box_lo, box_hi, tables: LmacTables = None,
+                         tile_cell=None, tile_valid=None,
+                         tcell_lo=None, tcell_hi=None) -> SharedSources:
+    """One chunk's shared sources by the local-MAC predicate (jittable).
+
+    Same contract as traversal2.build_shared_sources; overflow[3]
+    (frontier) is always False — there is no frontier."""
+    C, D = box_lo.shape
+    dtype = td.pos.dtype
+    n = td.pos.shape[0]
+    theta_inv = 1.0 / jnp.asarray(theta, dtype)
+    if tables is None:
+        tables = make_tables(td, cfg)
+    lm = tables.lm
+    M = lm.shape[0]
+    use_grid = cfg.farfield in ("grid", "grid2") and tables.L0 > 0
+    emit_cells = cfg.farfield == "grid2" and use_grid
+    L0 = tables.L0 if use_grid else 0
+    S_sep = _grid_sep(cfg)
+    if tcell_lo is None:
+        tcell_lo = tile_cell
+    if tcell_hi is None:
+        tcell_hi = tile_cell
+    if tile_valid is None:
+        tile_valid = jnp.ones((C,), bool)
+
+    box = td.box_size
+    bh_geom = cfg.mac == MAC_BH_GEOM
+
+    # ---- chunk bounding geometry (valid tiles only) --------------------
+    big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+    tv = tile_valid[:, None]
+    ch_lo = jnp.min(jnp.where(tv, box_lo, big), axis=0)        # [D]
+    ch_hi = jnp.max(jnp.where(tv, box_hi, -big), axis=0)
+    if use_grid:
+        bigc = jnp.asarray(1 << 30, I32)
+        ch_clo = jnp.min(jnp.where(tv, tcell_lo, bigc), axis=0)
+        ch_chi = jnp.max(jnp.where(tv, tcell_hi, -1), axis=0)
+
+    # ---- column views ---------------------------------------------------
+    com = lm[:, :D]
+    mass = lm[:, D]
+    center = lm[:, D + 1:2 * D + 1]
+    lvl_leaf = lm[:, 2 * D + 1].astype(I32)
+    lvl = lvl_leaf & 63
+    leaf = lvl_leaf >= 64
+    plvl = lm[:, 2 * D + 2]
+    delta = lm[:, 2 * D + 3]
+    pdelta = lm[:, 2 * D + 4]
+    cpack = lm[:, 2 * D + 5].astype(I32)
+    pcenter = lm[:, 2 * D + 6:3 * D + 6]
+
+    e_v = box * jnp.exp2(-lvl.astype(dtype))                    # [M]
+    e_p = box * jnp.exp2(-plvl)
+    R_v = e_v * theta_inv + (delta if bh_geom else 0.0)
+    R_p = e_p * theta_inv + (pdelta if bh_geom else 0.0)
+    vlo = center - 0.5 * e_v[:, None]
+    vhi = center + 0.5 * e_v[:, None]
+    plo = pcenter - 0.5 * e_p[:, None]
+    phi = pcenter + 0.5 * e_p[:, None]
+
+    def cell_sep(qlo, qhi, lead_axes):
+        """Chebyshev separation of node eff cells vs a cell range.
+
+        qlo/qhi [..., D] broadcast against the [M] node axis; returns
+        int32 [..., M]."""
+        sh_t = jnp.maximum(L0 - lvl, 0)                          # [M]
+        fmask = (1 << L0) - 1
+        sep = None
+        for d in range(D):
+            nc = (cpack >> (d * L0)) & fmask                     # [M]
+            tl = qlo[..., d:d + 1] >> sh_t.reshape(
+                (1,) * lead_axes + (M,))
+            th = qhi[..., d:d + 1] >> sh_t.reshape(
+                (1,) * lead_axes + (M,))
+            sd = jnp.maximum(jnp.maximum(nc - th, tl - nc), 0)
+            sep = sd if sep is None else jnp.maximum(sep, sd)
+        return sep
+
+    # ---- per-node chunk predicate (ONE fused elementwise pass) ---------
+    # "some tile might open the parent" (conservative): the chunk box is
+    # within R_p of the parent's cell box, and the parent is acceptable
+    # at all (below-L0 parents are never accepted -> always opened).
+    d2_p = _box_dist2_min(ch_lo, ch_hi, plo, phi)               # [M]
+    par_acc_all = d2_p > R_p * R_p
+    if use_grid:
+        par_acc_all = par_acc_all & (plvl >= L0)
+    relevant = ~par_acc_all & (mass > 0)
+    if use_grid:
+        # whole chunk covered by the stencil at v -> v contributes nothing
+        cov_chunk = cell_sep(ch_clo[None], ch_chi[None], 0)[0] >= S_sep
+        relevant = relevant & ~cov_chunk
+    d2_vmin = _box_dist2_min(ch_lo, ch_hi, vlo, vhi)
+    d2_vmax = _box_dist2_max_pt(ch_lo, ch_hi, vlo, vhi)
+    some_accepts = d2_vmax > R_v * R_v            # conservative superset
+    some_opens = d2_vmin <= R_v * R_v
+    if use_grid:
+        some_accepts = some_accepts & (lvl >= L0)
+        some_opens = some_opens | (lvl < L0)
+    m2p_sel = relevant & some_accepts
+    p2p_sel = relevant & leaf & some_opens
+
+    # ---- per-tile A(t, .) panels on compacted rows ----------------------
+    tlo = box_lo[:, None, :]                                     # [C,1,D]
+    thi = box_hi[:, None, :]
+
+    def tile_accepts(rlo, rhi, R):
+        """[C, K] A(t, row) for row boxes rlo/rhi [K, D], radii R [K]."""
+        d2 = _box_dist2_min(tlo, thi, rlo[None], rhi[None])
+        return d2 > (R * R)[None, :]
+
+    sentinel = jnp.asarray(4.0, dtype) * box
+    ucap = cfg.m2p_cap
+
+    # M2P rows: Morton re-sort by node_begin (clusters a tile's active
+    # sources for the fused kernel's block compaction, as traversal2)
+    uidx, ucnt = su.compact_indices(m2p_sel, ucap)
+    uvalid = uidx < M
+    uidx_c = jnp.clip(uidx, 0, M - 1)
+    ukey = jnp.where(uvalid, td.node_begin[uidx_c], n)
+    _, un_ids, uvalid = jax.lax.sort((ukey, uidx_c, uvalid), num_keys=1)
+    m_row = lm[un_ids]                               # ONE row gather
+    m_pos = jnp.where(uvalid[:, None], m_row[:, :D], sentinel)
+    m_mass = jnp.where(uvalid, m_row[:, D], 0.0)
+    m_idx = jnp.full(ucap, -1, I32)
+    ovf_uni = ucnt > ucap
+
+    m_lvl = m_row[:, 2 * D + 1].astype(I32) & 63
+    m_e = box * jnp.exp2(-m_lvl.astype(dtype))
+    m_R = m_e * theta_inv + (m_row[:, 2 * D + 3] if bh_geom else 0.0)
+    m_ctr = m_row[:, D + 1:2 * D + 1]
+    m_plvl = m_row[:, 2 * D + 2]
+    m_pe = box * jnp.exp2(-m_plvl)
+    m_pR = m_pe * theta_inv + (m_row[:, 2 * D + 4] if bh_geom else 0.0)
+    m_pctr = m_row[:, 2 * D + 6:3 * D + 6]
+    acc_v = tile_accepts(m_ctr - 0.5 * m_e[:, None],
+                         m_ctr + 0.5 * m_e[:, None], m_R)
+    acc_p = tile_accepts(m_pctr - 0.5 * m_pe[:, None],
+                         m_pctr + 0.5 * m_pe[:, None], m_pR)
+    if use_grid:
+        acc_v = acc_v & (m_lvl >= L0)[None, :]
+        acc_p = acc_p & (m_plvl >= L0)[None, :]
+    m_mask = acc_v & ~acc_p & uvalid[None, :]                    # [C, ucap]
+    m_cpack = m_row[:, 2 * D + 5].astype(I32)
+    if use_grid:
+        # per-tile stencil-coverage drop (sep >= S for this tile's range)
+        sh_t = jnp.maximum(L0 - m_lvl, 0)
+        fmask = (1 << L0) - 1
+        sep = None
+        for d in range(D):
+            nc = (m_cpack >> (d * L0)) & fmask
+            tl2 = tcell_lo[:, d:d + 1] >> sh_t[None, :]
+            th2 = tcell_hi[:, d:d + 1] >> sh_t[None, :]
+            sd = jnp.maximum(jnp.maximum(nc[None, :] - th2,
+                                         tl2 - nc[None, :]), 0)
+            sep = sd if sep is None else jnp.maximum(sep, sd)
+        m_mask = m_mask & (sep < S_sep)
+    m_mask = m_mask.T                                            # [ucap, C]
+    m_cell = None
+    if emit_cells:
+        fmask = (1 << L0) - 1
+        m_cell = jnp.stack(
+            [(m_cpack >> (d * L0)) & fmask for d in range(D)], axis=1)
+        m_cell = jnp.where(uvalid[:, None], m_cell, -1)
+    m_quad = None
+    if cfg.multipole_order >= 2:
+        qdim = D * (D + 1) // 2
+        m_quad = jnp.where(uvalid[:, None],
+                           m_row[:, 3 * D + 6:3 * D + 6 + qdim], 0.0)
+
+    # ---- P2P: leaves some tile opens, expanded to their particles ------
+    pcap = cfg.p2p_src_cap
+    lcap = cfg.p2p_leaf_cap
+    lidx, lcnt = su.compact_indices(p2p_sel, lcap)
+    lvalid = lidx < M
+    lidx_c = jnp.clip(lidx, 0, M - 1)
+    lkey = jnp.where(lvalid, td.node_begin[lidx_c], n)
+    _, lf_ids, lvalid = jax.lax.sort((lkey, lidx_c, lvalid), num_keys=1)
+    ovf_leaf = lcnt > lcap
+    l_row = lm[lf_ids]                               # ONE small row gather
+    l_lvl = l_row[:, 2 * D + 1].astype(I32) & 63
+    l_e = box * jnp.exp2(-l_lvl.astype(dtype))
+    l_R = l_e * theta_inv + (l_row[:, 2 * D + 3] if bh_geom else 0.0)
+    l_ctr = l_row[:, D + 1:2 * D + 1]
+    l_acc = tile_accepts(l_ctr - 0.5 * l_e[:, None],
+                         l_ctr + 0.5 * l_e[:, None], l_R)
+    if use_grid:
+        l_acc = l_acc & (l_lvl >= L0)[None, :]
+    leaf_mask = (~l_acc).T & lvalid[:, None]                     # [lcap, C]
+
+    lb = jnp.where(lvalid, td.node_begin[lf_ids], 0)
+    lc = jnp.where(lvalid, td.node_end[lf_ids] - td.node_begin[lf_ids], 0)
+    offs = jnp.cumsum(lc) - lc
+    total_p = offs[-1] + lc[-1]
+    ovf_p2p = total_p > pcap
+    kq = jnp.arange(pcap, dtype=I32)
+    marks = jnp.zeros(pcap + 1, I32).at[
+        jnp.where(lc > 0, jnp.minimum(offs, pcap), pcap)].add(1)
+    row = jnp.cumsum(marks[:pcap]) - 1
+    row = jnp.maximum(row, 0)
+    rvalid = kq < jnp.minimum(total_p, pcap)
+    row_c = jnp.clip(row, 0, lcap - 1)
+    pidx = jnp.where(rvalid, lb[row_c] + (kq - offs[row_c]), -1)
+    pidx_c = jnp.clip(pidx, 0, n - 1)
+    p_row = tables.pm[pidx_c]                        # ONE row gather
+    p_pos = jnp.where(rvalid[:, None], p_row[:, :D], sentinel)
+    p_mass = jnp.where(rvalid, p_row[:, 3], 0.0)
+    p_mask = (leaf_mask[row_c] & rvalid[:, None]
+              & (p_mass > 0)[:, None])                           # [pcap, C]
+    p_cell = None
+    if use_grid:
+        # per-particle coverage refinement for leaves above L0 (exact per
+        # pair in grid2's kernels; conservative range test here)
+        from . import particles as pmod
+        pcell = (pmod.discretize(p_pos, box, cfg.max_depth)
+                 >> jnp.asarray(cfg.max_depth - L0, jnp.uint32)
+                 ).astype(I32)
+        pd = jnp.maximum(jnp.maximum(
+            pcell[:, None, :] - tcell_hi[None, :, :],
+            tcell_lo[None, :, :] - pcell[:, None, :]), 0)
+        psep = jnp.max(pd, axis=-1)                              # [pcap, C]
+        p_mask = p_mask & (psep < S_sep)
+        if emit_cells:
+            p_cell = pcell
+
+    pos = jnp.concatenate([m_pos, p_pos], axis=0).astype(dtype)
+    mass_o = jnp.concatenate([m_mass, p_mass], axis=0).astype(dtype)
+    idx = jnp.concatenate([m_idx, pidx], axis=0)
+    mask = jnp.concatenate([m_mask, p_mask], axis=0).T           # [C, S]
+    cell = None
+    if emit_cells:
+        cell = jnp.concatenate([m_cell, p_cell], axis=0)
+
+    vary0 = (ucnt * 0)
+    return SharedSources(
+        pos=pos, mass=mass_o, idx=idx, mask=mask,
+        count=jnp.minimum(ucnt, ucap) + jnp.minimum(total_p, pcap),
+        overflow=jnp.stack([ovf_uni, ovf_leaf, ovf_p2p, vary0 > 0]),
+        maxima=jnp.stack([ucnt, ucnt + total_p, vary0]),
+        cell=cell, quad=m_quad)

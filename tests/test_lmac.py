@@ -1,0 +1,135 @@
+"""Walk-free local-MAC traversal (traversal3, traversal_mode="lmac").
+
+The partition argument (traversal3.py docstring) says every unit of mass
+is counted exactly once per tile — tested directly as a mass-conservation
+invariant — and that acceptance is strictly tighter than the walk's
+COM-distance bh test, so the error envelope at equal theta must be at
+most the shared walk's."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rakau_tpu import build, direct, engine, particles
+from rakau_tpu.config import TreeConfig
+
+from .helpers import rel_vec_err, rms
+
+
+BASE = TreeConfig(max_depth=12, max_leaf_n=16, ncrit=64, tile_chunk=16,
+                  m2p_cap=8192, p2p_leaf_cap=2048, p2p_src_cap=16384,
+                  farfield="m2p")
+
+
+def _query(pos, mass, cfg, theta, eps=0.0):
+    td = build.build_tree(pos, mass, cfg)
+    acc, pot, ovf = engine.acc_pot_u(td, cfg, jnp.asarray(theta, pos.dtype),
+                                     jnp.asarray(eps, pos.dtype))
+    assert not bool(np.asarray(ovf).any())
+    inv = np.asarray(td.inv_perm)
+    return np.asarray(acc)[inv], np.asarray(pot)[inv]
+
+
+@pytest.mark.parametrize("dist", ["uniform", "plummer"])
+def test_lmac_within_shared_envelope(dist):
+    n = 8192
+    if dist == "plummer":
+        pos, mass = particles.plummer(jax.random.PRNGKey(0), n)
+    else:
+        key = jax.random.PRNGKey(1)
+        pos = jax.random.uniform(key, (n, 3), minval=-0.5, maxval=0.5)
+        mass = jnp.full((n,), 1.0 / n)
+    acc_o, _ = direct.direct_acc_pot_np(np.asarray(pos, np.float64),
+                                        np.asarray(mass, np.float64))
+    for theta in (0.5, 0.75):
+        a_sh, _ = _query(pos, mass, BASE, theta)
+        a_lm, _ = _query(pos, mass, BASE.with_(traversal_mode="lmac"),
+                         theta)
+        e_sh = rms(rel_vec_err(a_sh, acc_o))
+        e_lm = rms(rel_vec_err(a_lm, acc_o))
+        # box-distance acceptance is strictly more conservative than the
+        # COM-distance walk at equal theta
+        assert e_lm <= e_sh * 1.05, (theta, e_lm, e_sh)
+
+
+def test_lmac_mass_partition_exact():
+    """For every valid tile the masked source masses (nodes + expanded
+    particles) must sum to the TOTAL mass — each particle contributes
+    through exactly one transition node or P2P row (the partition
+    argument is exact, not approximate)."""
+    n = 4096
+    pos, mass = particles.plummer(jax.random.PRNGKey(3), n)
+    cfg = BASE.with_(traversal_mode="lmac")
+    td = build.build_tree(pos, mass, cfg)
+    tiles = engine._gather_tiles(td, cfg)
+    (tpos, tidx, blo, bhi, tcell), _ = engine._split_tiles(tiles)
+    tm = engine._traversal_mod(cfg)
+    tabs = tm.make_tables(td, cfg)
+    total = float(jnp.sum(mass))
+    for theta in (0.4, 0.75, 1.0):
+        th = jnp.float32(theta)
+        for c in range(tpos.shape[0]):
+            tv = tidx[c][:, 0] < n
+            if not bool(np.asarray(tv).any()):
+                continue
+            src = tm.build_shared_sources(td, cfg, th, blo[c], bhi[c],
+                                          tables=tabs, tile_cell=tcell[c],
+                                          tile_valid=tv)
+            assert not bool(np.asarray(src.overflow).any())
+            ms = np.asarray(jnp.sum(
+                jnp.where(src.mask, src.mass[None, :], 0.0), axis=1))
+            tvn = np.asarray(tv)
+            np.testing.assert_allclose(ms[tvn], total, rtol=2e-5)
+
+
+def test_lmac_theta_to_zero_is_exact():
+    n = 2048
+    pos, mass = particles.plummer(jax.random.PRNGKey(5), n)
+    acc_o, _ = direct.direct_acc_pot_np(np.asarray(pos, np.float64),
+                                        np.asarray(mass, np.float64))
+    cfg = BASE.with_(traversal_mode="lmac", p2p_src_cap=4096,
+                     p2p_leaf_cap=4096)
+    a, _ = _query(pos, mass, cfg, 1e-3)
+    assert rms(rel_vec_err(a, acc_o)) < 5e-6
+
+
+def test_lmac_grid2_matches_shared_grid2():
+    """lmac under the grid2 far field must stay within the shared-walk
+    grid2 error envelope (both resolve the same near region; acceptance
+    differs only in the box-vs-COM distance)."""
+    n = 8192
+    pos, mass = particles.plummer(jax.random.PRNGKey(7), n)
+    acc_o, _ = direct.direct_acc_pot_np(np.asarray(pos, np.float64),
+                                        np.asarray(mass, np.float64))
+    g2 = BASE.with_(farfield="grid2", local_order=4, grid_sep=2,
+                    grid_level=3)
+    a_sh, _ = _query(pos, mass, g2, 0.6)
+    a_lm, _ = _query(pos, mass, g2.with_(traversal_mode="lmac"), 0.6)
+    e_sh = rms(rel_vec_err(a_sh, acc_o))
+    e_lm = rms(rel_vec_err(a_lm, acc_o))
+    assert e_lm <= e_sh * 1.1, (e_lm, e_sh)
+
+
+def test_lmac_quadrupole():
+    """multipole_order=2 on lmac: quad moments ride the compacted rows."""
+    n = 4096
+    pos, mass = particles.plummer(jax.random.PRNGKey(9), n)
+    acc_o, _ = direct.direct_acc_pot_np(np.asarray(pos, np.float64),
+                                        np.asarray(mass, np.float64))
+    cfg = BASE.with_(traversal_mode="lmac")
+    a_m, _ = _query(pos, mass, cfg, 0.7)
+    a_q, _ = _query(pos, mass, cfg.with_(multipole_order=2), 0.7)
+    e_m = rms(rel_vec_err(a_m, acc_o))
+    e_q = rms(rel_vec_err(a_q, acc_o))
+    assert e_q < 0.5 * e_m, (e_q, e_m)
+
+
+def test_lmac_bh_geom():
+    n = 4096
+    pos, mass = particles.plummer(jax.random.PRNGKey(11), n)
+    acc_o, _ = direct.direct_acc_pot_np(np.asarray(pos, np.float64),
+                                        np.asarray(mass, np.float64))
+    cfg = BASE.with_(traversal_mode="lmac", mac="bh_geom")
+    a, _ = _query(pos, mass, cfg, 0.75)
+    # bh_geom tightens near-field acceptance; envelope well under bh 0.75
+    assert rms(rel_vec_err(a, acc_o)) < 8e-3
