@@ -103,13 +103,14 @@ def main():
     # --- shrink caps to measured maxima (padding waste is the main TPU
     # perf risk, SURVEY.md §8) and re-jit for the timed runs ---
     if os.environ.get("RAKAU_BENCH_AUTOTUNE", "1") != "0":
-        m2p_max, p2p_max, f_max = (int(x) for x in np.asarray(mx))
+        stats = [int(x) for x in np.asarray(mx)]
+        m2p_max, p2p_max, f_max = stats[:3]
+        leaf_max = stats[3] if len(stats) > 3 else p2p_max // 4
         fit = lambda v, q: max(q, -(-int(v * 1.25) // q) * q)
         cfg = cfg.with_(m2p_cap=fit(m2p_max, 512),
                         p2p_src_cap=fit(p2p_max, 1024),
-                        p2p_leaf_cap=max(256, fit(p2p_max, 1024) //
-                                         max(cfg.max_leaf_n // 4, 1)),
-                        frontier_cap=fit(f_max, 256))
+                        p2p_leaf_cap=max(256, fit(leaf_max, 256)),
+                        frontier_cap=max(256, fit(f_max, 256)))
         acc, pot, ovf, mx = force(query_jit(td, cfg, th, ep, g))
         if bool(np.asarray(ovf).any()):  # paranoia: fall back
             cfg = cfg.with_(m2p_cap=2 * cfg.m2p_cap,
@@ -151,11 +152,14 @@ def main():
     samp = np.sort(rng.choice(n, n_sample, replace=False))
     pos_np = np.asarray(td.pos, np.float64)
     mass_np = np.asarray(td.mass, np.float64)
-    acc_o, _ = direct_acc_pot_np(pos_np, mass_np, eps=eps, targets=samp)
+    acc_o, pot_o = direct_acc_pot_np(pos_np, mass_np, eps=eps, targets=samp)
     acc_s = np.asarray(acc)[samp]
     num = np.linalg.norm(acc_s - acc_o, axis=1)
     den = np.linalg.norm(acc_o, axis=1)
     rms_err = float(np.sqrt(np.mean((num / np.maximum(den, 1e-300)) ** 2)))
+    pot_s = np.asarray(pot)[samp]
+    rel_p = np.abs(pot_s - pot_o) / np.maximum(np.abs(pot_o), 1e-300)
+    rms_pot_err = float(np.sqrt(np.mean(rel_p ** 2)))
 
     out = {
         "metric": "particle-accel evals/sec/chip at "
@@ -171,6 +175,7 @@ def main():
             "build_ms": build_s * 1e3,
             "build_cold_ms": build_cold * 1e3,
             "rms_rel_force_err_sampled": rms_err,
+            "rms_rel_pot_err_sampled": rms_pot_err,
             "reps": reps,
             "n_nodes": int(td.n_nodes),
             "n_tiles": int(td.n_tiles),

@@ -268,8 +268,8 @@ def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0,
     """Accelerations and potentials for all particles, Morton order.
 
     Returns (acc [N, D], pot [N], overflow [4] bool) and, with
-    with_stats, a [3] int32 vector of max (m2p, p2p_src, frontier)
-    counts for cap auto-tuning. Jittable; cfg static. extra: optional
+    with_stats, a [4] int32 vector of max (m2p, p2p_src, frontier,
+    p2p_leaf) counts for cap auto-tuning. Jittable; cfg static. extra: optional
     (pos [E, D], mass [E]) sources added to every tile (LET imports)."""
     n, ndim = td.pos.shape
     dtype = td.pos.dtype
@@ -424,7 +424,7 @@ def acc_pot_u_host(td, cfg: TreeConfig, theta, eps, G=1.0,
                    slice_chunks: int = 32, mode: str = "both"):
     """Host-driven query: like acc_pot_u(with_stats=True) but each device
     dispatch covers at most `slice_chunks` tile chunks (watchdog-safe).
-    Returns (acc, pot, ovf[4], maxima[3])."""
+    Returns (acc, pot, ovf[4], maxima[4])."""
     import numpy as np
     dt = td.pos.dtype
     theta = jnp.asarray(theta, dt)
@@ -441,7 +441,7 @@ def acc_pot_u_host(td, cfg: TreeConfig, theta, eps, G=1.0,
     K = min(slice_chunks, n_live)
     accs, pots = [], []
     ovf = jnp.zeros(4, bool)
-    mx = jnp.zeros(3, I32)
+    mx = jnp.zeros(4, I32)
     for s in range(0, n_live, K):
         start = min(s, n_live - K)  # final slice overlaps; results align
         a, p, o, m = _slice_query_jit(td, cfg, theta, eps, G, tiles,

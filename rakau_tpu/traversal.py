@@ -41,7 +41,7 @@ class InteractionLists(NamedTuple):
     p2p_count: jnp.ndarray   # [C]
     overflow: jnp.ndarray    # [4] bool: (m2p, p2p_leaf, p2p_src, frontier)
                              # cap exceeded in this chunk (never silent)
-    maxima: jnp.ndarray      # [3] int32: max (m2p, p2p_src, frontier)
+    maxima: jnp.ndarray      # [4] int32: max (m2p, p2p_src, frontier, p2p_leaf)
                              # counts in this chunk (for cap auto-tuning)
 
 
@@ -200,4 +200,5 @@ def build_interaction_lists(td: TreeData, cfg: TreeConfig, theta,
         p2p_src=p2p_src, p2p_count=jnp.minimum(total, scap),
         overflow=jnp.stack([jnp.any(ovf_m2p), jnp.any(ovf_leaf),
                             jnp.any(ovf_src), jnp.any(ovf_frontier)]),
-        maxima=jnp.stack([jnp.max(m2p_cnt), jnp.max(total), nf_max]))
+        maxima=jnp.stack([jnp.max(m2p_cnt), jnp.max(total), nf_max,
+                          jnp.max(p2p_leaf_cnt)]))

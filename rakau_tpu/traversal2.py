@@ -42,7 +42,8 @@ class SharedSources(NamedTuple):
     count: jnp.ndarray      # [] int32 valid entries
     overflow: jnp.ndarray   # [4] bool (union, leaf-list, p2p expansion, frontier)
                             # aligned with TreeConfig cap fields
-    maxima: jnp.ndarray     # [3] int32 (union nodes, total sources, frontier)
+    maxima: jnp.ndarray     # [4] int32 (union nodes, total sources,
+                            # frontier, p2p leaves)
     cell: jnp.ndarray = None  # [S, D] int32 leaf-grid cell (grid2 mode
                               # only): the per-pair coverage test operand;
                               # -1 marks rows exempt from the test
@@ -390,5 +391,5 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
         pos=pos, mass=mass, idx=idx, mask=mask,
         count=jnp.minimum(ucnt, ucap) + jnp.minimum(total_p, pcap),
         overflow=jnp.stack([ovf_uni, ovf_leaf, ovf_p2p, ovf_frontier]),
-        maxima=jnp.stack([ucnt, ucnt + total_p, f_max]),
+        maxima=jnp.stack([ucnt, ucnt + total_p, f_max, lcnt]),
         cell=cell, quad=m_quad)

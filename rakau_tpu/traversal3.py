@@ -408,5 +408,5 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
         pos=pos, mass=mass_o, idx=idx, mask=mask,
         count=jnp.minimum(ucnt, ucap) + jnp.minimum(total_p, pcap),
         overflow=jnp.stack([ovf_uni, ovf_leaf, ovf_p2p, vary0 > 0]),
-        maxima=jnp.stack([ucnt, ucnt + total_p, vary0]),
+        maxima=jnp.stack([ucnt, ucnt + total_p, vary0, lcnt]),
         cell=cell, quad=m_quad)
