@@ -124,6 +124,37 @@ def test_lmac_quadrupole():
     assert e_q < 0.5 * e_m, (e_q, e_m)
 
 
+def test_lmac_host_path_and_2d():
+    """acc_pot_u_host (the bench driver) and ndim=2 on lmac."""
+    n = 4096
+    pos, mass = particles.plummer(jax.random.PRNGKey(15), n)
+    cfg = BASE.with_(traversal_mode="lmac")
+    td = build.build_tree(pos, mass, cfg)
+    a_h, p_h, ovf, mx = engine.acc_pot_u_host(td, cfg, jnp.float32(0.6),
+                                              jnp.float32(0.0), 1.0,
+                                              slice_chunks=4)
+    assert not bool(np.asarray(ovf).any())
+    a_g, p_g, _ = engine.acc_pot_u(td, cfg, jnp.float32(0.6),
+                                   jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(a_h), np.asarray(a_g), rtol=1e-6)
+    assert np.asarray(mx).shape == (4,)
+
+    # 2D quadtree
+    key = jax.random.PRNGKey(17)
+    pos2 = jax.random.uniform(key, (2048, 2), minval=-0.5, maxval=0.5)
+    mass2 = jnp.full((2048,), 1.0 / 2048)
+    cfg2 = TreeConfig(ndim=2, max_depth=12, max_leaf_n=16, ncrit=64,
+                      tile_chunk=16, m2p_cap=8192, p2p_leaf_cap=2048,
+                      p2p_src_cap=16384, farfield="m2p",
+                      traversal_mode="lmac")
+    acc_o2, _ = direct.direct_acc_pot_np(np.asarray(pos2, np.float64),
+                                         np.asarray(mass2, np.float64))
+    a2, _ = _query(pos2, mass2, cfg2, 0.6)
+    # 2D monopole envelope is wider than 3D (shared walk measures
+    # ~1.2e-2 at this exact config; lmac is tighter)
+    assert rms(rel_vec_err(a2, acc_o2)) < 1.1e-2
+
+
 def test_lmac_bh_geom():
     n = 4096
     pos, mass = particles.plummer(jax.random.PRNGKey(11), n)
