@@ -155,6 +155,24 @@ def test_lmac_host_path_and_2d():
     assert rms(rel_vec_err(a2, acc_o2)) < 1.1e-2
 
 
+def test_accuracy_gate_trajectory():
+    """VERDICT r1 item 3d: the documented north-star trajectory config
+    (lmac + grid2 order 6 / sep 3 + quadrupole near field, theta=0.5)
+    must hold RMS <= 2e-4 vs the fp64 oracle (measured 9.0e-5 at 65k,
+    PLAN.md accuracy ladder)."""
+    n = 16384
+    pos, mass = particles.plummer(jax.random.PRNGKey(21), n)
+    acc_o, _ = direct.direct_acc_pot_np(np.asarray(pos, np.float64),
+                                        np.asarray(mass, np.float64))
+    cfg = TreeConfig(max_leaf_n=32, ncrit=128, tile_chunk=16,
+                     m2p_cap=16384, p2p_leaf_cap=8192, p2p_src_cap=65536,
+                     farfield="grid2", local_order=6, grid_sep=3,
+                     multipole_order=2, accum="compensated",
+                     traversal_mode="lmac", kernel_backend="xla")
+    a, _ = _query(pos, mass, cfg, 0.5)
+    assert rms(rel_vec_err(a, acc_o)) < 2e-4
+
+
 def test_lmac_bh_geom():
     n = 4096
     pos, mass = particles.plummer(jax.random.PRNGKey(11), n)
