@@ -25,6 +25,15 @@ pairs/particle. This module decouples them completely:
     the coverage bookkeeping exact for tiles spanning any number of
     cells.
 
+All grid tensors are SCALE-FREE (cell-size-normalized): multipoles are
+M~_alpha = sum m (delta/s_l)^alpha, locals L~_beta = L_beta s_l^{|beta|+1},
+and the M2L kernels evaluate the T tensors at INTEGER cell offsets with
+eps/s_l. Every coefficient is then O(1)-bounded regardless of level or
+box size; the unnormalized form overflows fp32 at expansion order ~8
+(T coefficients grow like (2k-1)!! against rho^{-(2k+1)/2} with
+sub-unit cell sizes). Physical units re-enter only at L2P (one 1/s0 and
+1/s0^2 factor on potential/acceleration).
+
 Coverage (same argument as grid.py, generalized separation S >= 2):
 a cell pair at level l with Chebyshev separation sep_l is handled by
 the level-l stencil iff S <= sep_l (and the parent pair has
@@ -186,18 +195,23 @@ def _m2l_index_maps(ndim: int, p: int, q: int):
 
 def m2l_kernels(ndim: int, p: int, q: int, sep: int, s_cell, eps,
                 dtype=jnp.float32):
-    """Per-parity M2L conv kernels.
+    """Per-parity NORMALIZED M2L conv kernels.
 
     Returns W [2^D, NL, NM, (K,)*D] with K = 2*(2*sep-1)+1: for target
-    parity b, out_L[t] += sum_o W[b,:,:,o+pad] @ M[t+o]. d (target
-    center minus source center) = -o * s_cell."""
+    parity b, out_L~[t] += sum_o W[b,:,:,o+pad] @ M~[t+o], where M~ are
+    cell-normalized multipoles and L~_beta = L_beta s^{|beta|+1}. By the
+    homogeneity T_gamma(s d) = s^{-(1+|gamma|)} T_gamma(d) (with
+    eps -> eps/s), the normalized kernel is T at the INTEGER offsets
+    with eps/s_cell — every entry O(1), no fp32 overflow at high order
+    (the physical form overflows at p+q ~ 16)."""
     offs_np, bits_np = stencil_offsets(ndim, sep)
     NO = offs_np.shape[0]
     pad = 2 * sep - 1
     K = 2 * pad + 1
     offs = jnp.asarray(offs_np, dtype)
-    d = -offs * jnp.asarray(s_cell, dtype)                  # [NO, D]
-    T = t_tensors(d, eps, ndim, p + q)                      # [NO, NG]
+    d = -offs                                               # [NO, D]
+    T = t_tensors(d, jnp.asarray(eps, dtype)
+                  / jnp.asarray(s_cell, dtype), ndim, p + q)  # [NO, NG]
     gpos, coef = _m2l_index_maps(ndim, p, q)
     Kmat = T[:, gpos.reshape(-1)].reshape(NO, *gpos.shape)  # [NO, NL, NM]
     Kmat = Kmat * jnp.asarray(coef, dtype)[None]
@@ -246,9 +260,17 @@ def _shift_maps(ndim: int, order: int, kind: str):
     return tuple(out)
 
 
-def shift_matrix(t, ndim: int, order: int, kind: str):
+def shift_matrix(t, ndim: int, order: int, kind: str,
+                 halving: bool = False):
     """Dense shift matrix for translation t [D] (jit-friendly): one
-    stacked-values scatter, static (row, col) structure."""
+    stacked-values scatter, static (row, col) structure.
+
+    halving=True produces the NORMALIZED one-level pyramid shift, with
+    `t` in PARENT-cell units (components +-1/4 for an octree step):
+      m2m (child->parent): entry *= (1/2)^{|beta_col|}  so that parent
+        M~ in parent units comes from child M~ in child units;
+      l2l (parent->child): entry *= (1/2)^{|beta_row|+1} mapping parent
+        L~ to child L~. All entries stay O(1) at any depth."""
     NC = n_coeffs(ndim, order)
     entries = _shift_maps(ndim, order, kind)
     dt = t.dtype
@@ -264,10 +286,20 @@ def shift_matrix(t, ndim: int, order: int, kind: str):
         mono_cache[e] = v
         return v
 
+    idx, _, _ = multi_indices(ndim, order)
+    deg = [sum(a) for a in idx]
+
+    def scale(i, j):
+        if not halving:
+            return 1.0
+        if kind == "m2m":
+            return 0.5 ** deg[j]
+        return 0.5 ** (deg[i] + 1)
+
     rows = np.asarray([i for i, _, _, _ in entries], np.int32)
     cols = np.asarray([j for _, j, _, _ in entries], np.int32)
-    vals = jnp.stack([jnp.asarray(c, dt) * mono(e)
-                      for _, _, e, c in entries])
+    vals = jnp.stack([jnp.asarray(c * scale(i, j), dt) * mono(e)
+                      for i, j, e, c in entries])
     M = jnp.zeros((NC * NC,), dt).at[
         jnp.asarray(rows.astype(np.int64) * NC + cols)].set(vals)
     return M.reshape(NC, NC)
@@ -345,8 +377,10 @@ def build_pyramid(td, cfg, L0: int, q: int) -> Pyramid2:
     bounds = su.searchsorted_1d(mid, jnp.arange(ncells + 1, dtype=I32))
     b0, b1 = bounds[:-1], bounds[1:]
 
-    # per-particle delta from own-cell center; moments m * delta^alpha
-    delta = td.pos - cell_centers_of(cl0, td.box_size, L0, dtype)
+    # per-particle delta from own-cell center in CELL UNITS (scale-free
+    # moments M~_alpha = sum m (delta/s0)^alpha, |delta/s0| <= 1/2)
+    s0 = td.box_size * (2.0 ** -L0)
+    delta = (td.pos - cell_centers_of(cl0, td.box_size, L0, dtype)) / s0
     cols = []
     mono_cache = {tuple([0] * ndim): td.mass}
 
@@ -371,25 +405,25 @@ def build_pyramid(td, cfg, L0: int, q: int) -> Pyramid2:
     mom_l0 = jnp.zeros((ncells, NM), dtype).at[flat].set(mom_m.astype(dtype))
 
     moms = {L0: mom_l0}
-    s_child = td.box_size * (2.0 ** -L0)
     for l in range(L0 - 1, -1, -1):
         child = moms[l + 1]
         Gc = 1 << (l + 1)
-        # t = child_center - parent_center = (b - 0.5) * s_child per dim
+        # normalized upward pass: t in PARENT units = (b - 0.5)/2 per
+        # dim; the halving shift matrix renormalizes child -> parent
+        # cell units (entries O(1) at every level)
         parts = None
         shape = (Gc // 2, 2) * ndim
         cview = child.reshape(shape + (NM,))
         for bidx in range(2 ** ndim):
             b = [(bidx >> d) & 1 for d in range(ndim)]
-            t = jnp.asarray([(bb - 0.5) for bb in b], dtype) * s_child
-            S = shift_matrix(t, ndim, q, "m2m")      # [NM, NM]
+            t = jnp.asarray([(bb - 0.5) * 0.5 for bb in b], dtype)
+            S = shift_matrix(t, ndim, q, "m2m", halving=True)  # [NM, NM]
             sl = tuple()
             for d in range(ndim):
                 sl = sl + (slice(None), b[d])
             contrib = jnp.einsum("...j,ij->...i", cview[sl], S)
             parts = contrib if parts is None else parts + contrib
         moms[l] = parts.reshape(-1, NM)
-        s_child = s_child * 2.0
     return Pyramid2(mom=tuple(moms[l] for l in range(L0 + 1)))
 
 
@@ -454,8 +488,9 @@ def _parity_conv(M, W, ndim: int, G: int):
 
 def dense_far_field(pyr: Pyramid2, cfg, L0: int, box_size, eps,
                     p: int, q: int, sep: int):
-    """M2L conv at every level + L2L chain; returns leaf local
-    coefficients [G^D, NL] about cell centers."""
+    """M2L conv at every level + L2L chain; returns NORMALIZED leaf
+    local coefficients [G^D, NL] about cell centers (L~_beta =
+    L_beta s0^{|beta|+1}; l2p_particles re-dimensionalizes)."""
     ndim = cfg.ndim
     dtype = pyr.mom[0].dtype
     NL = n_coeffs(ndim, p)
@@ -466,15 +501,15 @@ def dense_far_field(pyr: Pyramid2, cfg, L0: int, box_size, eps,
         W = m2l_kernels(ndim, p, q, sep, s_l, eps, dtype)
         Ll = _parity_conv(pyr.mom[l], W, ndim, G)
         if Lcur is not None:
-            # L2L: parent expansions recentred to children (parity shift)
-            s_child = s_l
+            # L2L: parent expansions recentred to children; t in PARENT
+            # units = (b - 0.5)/2, halving shift renormalizes the units
             Gp = G // 2
             Lp = Lcur.reshape((Gp,) * ndim + (NL,))
             shifted = []
             for bidx in range(2 ** ndim):
                 b = [(bidx >> d) & 1 for d in range(ndim)]
-                t = jnp.asarray([(bb - 0.5) for bb in b], dtype) * s_child
-                S = shift_matrix(t, ndim, p, "l2l")    # [NL, NL]
+                t = jnp.asarray([(bb - 0.5) * 0.5 for bb in b], dtype)
+                S = shift_matrix(t, ndim, p, "l2l", halving=True)
                 shifted.append(jnp.einsum("...j,ij->...i", Lp, S))
             cur = _interleave_parity(shifted, ndim, lead=0)  # [G.., NL]
             Ll = Ll + cur.reshape(-1, NL)
@@ -487,12 +522,13 @@ def dense_far_field(pyr: Pyramid2, cfg, L0: int, box_size, eps,
 
 # ---------------------------------------------------------------- L2P
 def l2p_particles(Lleaf, cells, pos, box_size, L0: int, G_grav, p: int):
-    """Per-particle evaluation of the leaf-cell local expansions.
+    """Per-particle evaluation of the (normalized) leaf-cell locals.
 
-    Lleaf [ncells, NL] row-major; cells [N, D] each particle's leaf
-    cell; pos [N, D]. Returns (acc [N, D], pot [N]) scaled by G.
-    psi(s) = sum_beta L_beta s^beta / beta!; pot = -G psi,
-    acc_d = G dpsi/ds_d = G sum_{|b|<=p-1} L_{b+e_d} s^b / b!."""
+    Lleaf [ncells, NL] row-major NORMALIZED coefficients (L~_beta =
+    L_beta s0^{|beta|+1}); cells [N, D] each particle's leaf cell;
+    pos [N, D]. Returns (acc [N, D], pot [N]) scaled by G.
+    With u = s/s0: pot = -(G/s0) sum L~_b u^b / b!,
+    acc_d = (G/s0^2) sum_{|b|<=p-1} L~_{b+e_d} u^b / b!."""
     ndim = pos.shape[1]
     dtype = pos.dtype
     betas, lookup, fact = multi_indices(ndim, p)
@@ -501,7 +537,8 @@ def l2p_particles(Lleaf, cells, pos, box_size, L0: int, G_grav, p: int):
     for d in range(1, ndim):
         flat = flat * G0 + cells[:, d]
     L = Lleaf[flat]                                   # [N, NL] gather
-    s = pos - cell_centers_of(cells, box_size, L0, dtype)
+    s0 = box_size * (2.0 ** -L0)
+    s = (pos - cell_centers_of(cells, box_size, L0, dtype)) / s0
 
     mono_cache = {tuple([0] * ndim): jnp.ones(pos.shape[0], dtype)}
 
@@ -529,7 +566,7 @@ def l2p_particles(Lleaf, cells, pos, box_size, L0: int, G_grav, p: int):
                 t = L[:, j] * w
                 accs[d] = t if accs[d] is None else accs[d] + t
     Gg = jnp.asarray(G_grav, dtype)
-    return Gg * jnp.stack(accs, axis=-1), -Gg * psi
+    return (Gg / (s0 * s0)) * jnp.stack(accs, axis=-1), -(Gg / s0) * psi
 
 
 # ------------------------------------------------------------ top level

@@ -118,9 +118,9 @@ def test_parity_conv_matches_bruteforce(rng, ndim):
     offs, bits = grid2.stencil_offsets(ndim, sep)
     Mg = np.asarray(M).reshape((G,) * ndim + (NM,))
     want = np.zeros((G,) * ndim + (NL,))
-    gammas_np = None
+    # normalized kernels: T at integer offsets with eps/s_cell
     Tall = grid2.t_tensors(
-        jnp.asarray(-offs, jnp.float64) * s_cell, eps, ndim, p + q)
+        jnp.asarray(-offs, jnp.float64), eps / s_cell, ndim, p + q)
     gpos, coef = grid2._m2l_index_maps(ndim, p, q)
     K = np.asarray(Tall)[:, gpos.reshape(-1)].reshape(
         offs.shape[0], NL, NM) * coef[None]
