@@ -131,7 +131,8 @@ def main():
     # --- kernel useful-pair density (VERDICT r1 item 8): the single
     # number that says whether traversal restructuring is working ---
     density_aux = {}
-    if (cfg.traversal_mode == "shared" and cfg.multipole_order < 2
+    from rakau_tpu import engine as _eng
+    if (_eng._use_shared(cfg)
             and os.environ.get("RAKAU_BENCH_DENSITY", "1") != "0"):
         try:
             from rakau_tpu import metrics
