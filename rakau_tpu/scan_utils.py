@@ -118,12 +118,13 @@ def dd_cumsum_cols(v):
     return jax.vmap(dd_cumsum, in_axes=1, out_axes=1)(v)
 
 
-def segment_sum_from_prefix_cols(hi, lo, begin, end):
+def segment_sum_from_prefix_cols(hi, lo, begin, end, dd_out: bool = False):
     """segment_sum_from_prefix batched over columns of a [N, K] dd
-    prefix; begin/end shared across columns. Returns [len(begin), K]."""
-    return jax.vmap(segment_sum_from_prefix,
-                    in_axes=(1, 1, None, None), out_axes=1)(hi, lo,
-                                                           begin, end)
+    prefix; begin/end shared across columns. Returns [len(begin), K]
+    (or the (hi, lo) pair of such arrays with dd_out)."""
+    f = lambda h, l: segment_sum_from_prefix(h, l, begin, end,
+                                             dd_out=dd_out)
+    return jax.vmap(f, in_axes=(1, 1), out_axes=1)(hi, lo)
 
 
 # ------------------------------------------------------- compaction
