@@ -147,13 +147,16 @@ def main():
         except Exception as e:  # diagnostics must never fail the bench
             density_aux = {"kernel_density_error": repr(e)}
 
-    # --- sampled accuracy vs fp64 oracle ---
-    n_sample = min(256, n)
+    # --- sampled accuracy vs fp64 oracle (native OpenMP when available;
+    # 512 targets — VERDICT r1 "bench accuracy sampling is thin") ---
+    from rakau_tpu import native as _native
+    n_sample = min(int(os.environ.get("RAKAU_BENCH_SAMPLES", 512)), n)
     rng = np.random.default_rng(1)
     samp = np.sort(rng.choice(n, n_sample, replace=False))
     pos_np = np.asarray(td.pos, np.float64)
     mass_np = np.asarray(td.mass, np.float64)
-    acc_o, pot_o = direct_acc_pot_np(pos_np, mass_np, eps=eps, targets=samp)
+    acc_o, pot_o = _native.direct_acc_pot(pos_np, mass_np, eps=eps,
+                                          targets=samp)
     acc_s = np.asarray(acc)[samp]
     num = np.linalg.norm(acc_s - acc_o, axis=1)
     den = np.linalg.norm(acc_o, axis=1)
