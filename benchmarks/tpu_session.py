@@ -47,6 +47,12 @@ STAGES = {
                       RAKAU_BENCH_FARFIELD="grid2", RAKAU_BENCH_ORDER="4",
                       RAKAU_BENCH_SEP="2", RAKAU_BENCH_MPOLE="0",
                       RAKAU_BENCH_GRIDLEVEL="6"),
+    # the bench-default (driver-run) configuration: shared walk + grid
+    "shared8m": dict(RAKAU_BENCH_N="8388608", RAKAU_BENCH_REPS="3",
+                     RAKAU_BENCH_THETA="0.75",
+                     RAKAU_BENCH_TRAVERSAL="shared",
+                     RAKAU_BENCH_FARFIELD="grid", RAKAU_BENCH_ORDER="3",
+                     RAKAU_BENCH_SEP="3", RAKAU_BENCH_MPOLE="0"),
 }
 
 
@@ -76,6 +82,8 @@ def main():
                   flush=True)
             continue
         env = STAGES[name]
+        for k in [k for k in os.environ if k.startswith("RAKAU_BENCH_")]:
+            del os.environ[k]
         os.environ.update(env)
         print(f"=== stage {name} {env} ===", flush=True)
         t0 = time.time()

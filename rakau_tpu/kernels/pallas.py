@@ -625,8 +625,15 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
     if src_cell is None:
         grid_sep = 0
     if block is None:
-        block = int(os.environ.get("RAKAU_PALLAS_BLOCK",
-                                   512 if grid_sep else 1024))
+        # quad adds ~6 live (T, B) panels (qdx/dqd/f5/f7) to the Mosaic
+        # stack: block 512 + grid_sep overflows the 16 MB scoped-VMEM
+        # limit (measured on v5e: 16.45M at 512), so quad launches halve
+        # the block again.
+        if src_quad is not None:
+            dflt = 256
+        else:
+            dflt = 512 if grid_sep else 1024
+        block = int(os.environ.get("RAKAU_PALLAS_BLOCK", dflt))
     if subblock is None:
         subblock = int(os.environ.get("RAKAU_PALLAS_SUBBLOCK", 0))
     C, T, D = tgt_pos.shape

@@ -135,8 +135,11 @@ def collect_shared_density(td: TreeData, cfg: TreeConfig, theta,
                                512 if grid2_mode else 1024))
     subblock = int(os.environ.get("RAKAU_PALLAS_SUBBLOCK", 0))
 
+    # td/tables enter as jit ARGUMENTS: closing over them embeds the
+    # full tree in the HLO as constants, which blows the remote-compile
+    # upload limit at 8M (HTTP 413) and defeats executable reuse.
     @jax.jit
-    def chunk_stats(tpos, tidx, blo, bhi, tcell, clo, chi):
+    def chunk_stats(td, tables, tpos, tidx, blo, bhi, tcell, clo, chi):
         tvalid = tidx[:, 0] < n
         kw = dict(tables=tables, tile_valid=tvalid)
         if grid2_mode:
@@ -180,8 +183,8 @@ def collect_shared_density(td: TreeData, cfg: TreeConfig, theta,
     for c in range(take):
         clo = gx[1][c] if gx is not None else None
         chi = gx[2][c] if gx is not None else None
-        u, p, s0 = chunk_stats(tpos_a[c], tidx_a[c], blo_a[c], bhi_a[c],
-                               tcell_a[c], clo, chi)
+        u, p, s0 = chunk_stats(td, tables, tpos_a[c], tidx_a[c], blo_a[c],
+                               bhi_a[c], tcell_a[c], clo, chi)
         useful += float(u)
         processed += float(p)
         slots += float(CH * s0 * T)
