@@ -52,7 +52,12 @@ def main():
         m2p_cap=int(os.environ.get("RAKAU_BENCH_M2P", 8192)),
         p2p_leaf_cap=int(os.environ.get("RAKAU_BENCH_P2PLEAF", 2048)),
         p2p_src_cap=int(os.environ.get("RAKAU_BENCH_P2PSRC", 65536)),
-        frontier_cap=int(os.environ.get("RAKAU_BENCH_FCAP", 1024)),
+        # lmac reuses frontier_cap as the slice-level group-candidate
+        # capacity (engine._slice_query_jit); needs ~node-table scale
+        frontier_cap=int(os.environ.get(
+            "RAKAU_BENCH_FCAP",
+            65536 if os.environ.get("RAKAU_BENCH_TRAVERSAL") == "lmac"
+            else 1024)),
         farfield=os.environ.get("RAKAU_BENCH_FARFIELD", "grid"),
         accum=os.environ.get("RAKAU_BENCH_ACCUM", "fp32"),
         traversal_mode=os.environ.get("RAKAU_BENCH_TRAVERSAL", "shared"),
@@ -90,27 +95,26 @@ def main():
     ep = jnp.asarray(eps, cfg.jdtype)
     g = jnp.asarray(1.0, cfg.jdtype)
 
+    # Grow ONLY the overflowed capacities (ovf aligns with _OVF_FIELDS).
+    # Round 2's "26 s mystery" was this loop quadrupling EVERYTHING:
+    # the shared source row blew past pallas.FUSED_VMEM_SRC_LIMIT and
+    # dispatch fell back to the slow XLA kernel for the whole bench.
+    _OVF_FIELDS = ("m2p_cap", "p2p_leaf_cap", "p2p_src_cap",
+                   "frontier_cap")
     acc, pot, ovf, mx = force(query_jit(td, cfg, th, ep, g))
-    for _ in range(4):
-        if not bool(np.asarray(ovf).any()):
+    for _ in range(6):
+        flags = np.asarray(ovf)
+        if not flags.any():
             break
-        cfg = cfg.with_(m2p_cap=4 * cfg.m2p_cap,
-                        p2p_src_cap=4 * cfg.p2p_src_cap,
-                        p2p_leaf_cap=4 * cfg.p2p_leaf_cap,
-                        frontier_cap=2 * cfg.frontier_cap)
+        cfg = cfg.with_(**{f: 2 * getattr(cfg, f)
+                           for f, hit in zip(_OVF_FIELDS, flags) if hit})
         acc, pot, ovf, mx = force(query_jit(td, cfg, th, ep, g))
 
     # --- shrink caps to measured maxima (padding waste is the main TPU
     # perf risk, SURVEY.md §8) and re-jit for the timed runs ---
     if os.environ.get("RAKAU_BENCH_AUTOTUNE", "1") != "0":
-        stats = [int(x) for x in np.asarray(mx)]
-        m2p_max, p2p_max, f_max = stats[:3]
-        leaf_max = stats[3] if len(stats) > 3 else p2p_max // 4
-        fit = lambda v, q: max(q, -(-int(v * 1.25) // q) * q)
-        cfg = cfg.with_(m2p_cap=fit(m2p_max, 512),
-                        p2p_src_cap=fit(p2p_max, 1024),
-                        p2p_leaf_cap=max(256, fit(leaf_max, 256)),
-                        frontier_cap=max(256, fit(f_max, 256)))
+        from rakau_tpu.config import fit_caps
+        cfg = fit_caps(cfg, np.asarray(mx))
         acc, pot, ovf, mx = force(query_jit(td, cfg, th, ep, g))
         if bool(np.asarray(ovf).any()):  # paranoia: fall back
             cfg = cfg.with_(m2p_cap=2 * cfg.m2p_cap,
@@ -144,6 +148,15 @@ def main():
                 "useful_pairs_per_sec": ds.useful_pairs / query_s,
                 "processed_pairs_per_sec": ds.processed_pairs / query_s,
             }
+            if os.environ.get("RAKAU_BENCH_MFU", "1") != "0":
+                # measured dense ceiling of the same kernel config ->
+                # how much of the kernel's own roof the query achieves
+                roof = metrics.measure_kernel_roof(cfg)
+                density_aux["kernel_roof_pairs_per_sec"] = roof
+                density_aux["kernel_mfu"] = (
+                    ds.processed_pairs / query_s / roof)
+                density_aux["useful_mfu"] = (
+                    ds.useful_pairs / query_s / roof)
         except Exception as e:  # diagnostics must never fail the bench
             density_aux = {"kernel_density_error": repr(e)}
 

@@ -66,17 +66,27 @@ def run_configs(configs="2,3", scale=None):
 
 
 def main():
+    import traceback
+
     import bench
-    names = os.environ.get(
-        "RAKAU_STAGES", "gate65k,lmac1m,shared1m,lmac8m").split(",")
+    names = [n.strip() for n in os.environ.get(
+        "RAKAU_STAGES", "gate65k,lmac1m,shared1m,lmac8m").split(",")]
+    # validate ALL names before burning chip time on any stage
+    bad = [n for n in names if not n.startswith("cfg:") and n not in STAGES]
+    if bad:
+        print(f"unknown stage(s) {bad}; valid: "
+              f"{sorted(STAGES)} or cfg:<ids>", flush=True)
+        sys.exit(2)
+    failed = []
     for name in names:
-        name = name.strip()
         if name.startswith("cfg:"):
             print(f"=== stage {name} ===", flush=True)
             t0 = time.time()
             try:
                 run_configs(name.split(":", 1)[1])
             except Exception as e:
+                failed.append(name)
+                traceback.print_exc()
                 print(f"stage {name} FAILED: {e!r}", flush=True)
             print(f"=== stage {name} done in {time.time()-t0:.1f}s ===",
                   flush=True)
@@ -90,9 +100,14 @@ def main():
         try:
             bench.main()
         except Exception as e:
+            failed.append(name)
+            traceback.print_exc()
             print(f"stage {name} FAILED: {e!r}", flush=True)
         print(f"=== stage {name} done in {time.time()-t0:.1f}s ===",
               flush=True)
+    if failed:
+        print(f"FAILED stages: {failed}", flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -81,15 +81,22 @@ class TreeData(NamedTuple):
     tile_cnt: jnp.ndarray          # [TC] int32 particle count (0 = padding)
     tile_cell: jnp.ndarray         # [TC, D] int32 leaf-grid cell coords
     n_tiles: jnp.ndarray           # [] int32
+    # True iff a near_sorted build's verified block re-sort failed and the
+    # full sort ran instead (observability: a workload that trips this
+    # every step should stop passing near_sorted; VERDICT r2 item 7).
+    resort_full: jnp.ndarray = None  # [] bool
 
 
 def _quad_dim(ndim: int) -> int:
     return ndim * (ndim + 1) // 2
 
 
-def sort_by_code(code_hi, code_lo, *arrays):
+def sort_by_code(code_hi, code_lo, *arrays, with_flag: bool = False):
     """Lexicographic sort by (hi, lo) carrying arrays as sort payloads
-    (payload columns ride the sort; no post-sort gathers)."""
+    (payload columns ride the sort; no post-sort gathers).
+
+    with_flag appends a [] bool "full sort was used as a near-sorted
+    fallback" flag (always False here; see sort_near_sorted)."""
     n = code_hi.shape[0]
     iota = jnp.arange(n, dtype=I32)
     cols = []
@@ -112,10 +119,13 @@ def sort_by_code(code_hi, code_lo, *arrays):
         else:
             sorted_arrays.append(jnp.stack([rest.pop(0) for _ in range(s)],
                                            axis=1))
+    if with_flag:
+        return hi_s, lo_s, perm, tuple(sorted_arrays), jnp.zeros((), bool)
     return hi_s, lo_s, perm, tuple(sorted_arrays)
 
 
-def sort_near_sorted(code_hi, code_lo, *arrays, block: int = 4096):
+def sort_near_sorted(code_hi, code_lo, *arrays, block: int = 4096,
+                     with_flag: bool = False):
     """Near-sorted variant of `sort_by_code` (SURVEY C11 / BASELINE
     config #3 "incremental Morton re-sort"): two overlapping batched
     block sorts instead of one global sort.
@@ -127,10 +137,15 @@ def sort_near_sorted(code_hi, code_lo, *arrays, block: int = 4096):
     ~log^2(N) for the global sort (~3.5x fewer at B=4k, N=8M). The
     result is VERIFIED (one lexicographic adjacent-pair check) and falls
     back to the full sort via lax.cond when any particle moved too far —
-    never an approximation."""
+    never an approximation.
+
+    with_flag appends a [] bool that is True iff the fallback fired — a
+    workload whose displacement exceeds block/2 every step pays BOTH
+    block sorts AND the full sort, so callers must be able to see it
+    (VERDICT r2 "near-sorted fallback is invisible")."""
     n = code_hi.shape[0]
     if n <= 2 * block:
-        return sort_by_code(code_hi, code_lo, *arrays)
+        return sort_by_code(code_hi, code_lo, *arrays, with_flag=with_flag)
     iota = jnp.arange(n, dtype=I32)
     cols = []
     splits = []
@@ -184,6 +199,8 @@ def sort_near_sorted(code_hi, code_lo, *arrays, block: int = 4096):
         else:
             sorted_arrays.append(jnp.stack([rest.pop(0) for _ in range(s)],
                                            axis=1))
+    if with_flag:
+        return hi_s, lo_s, perm, tuple(sorted_arrays), ~ok
     return hi_s, lo_s, perm, tuple(sorted_arrays)
 
 
@@ -215,8 +232,8 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None,
     cells = particles.discretize(pos, box_size, depth)
     chi, clo = morton.encode(cells, ndim, depth)
     sorter = sort_near_sorted if near_sorted else sort_by_code
-    hi_s, lo_s, perm, (pos_s, mass_s, cells_s) = sorter(
-        chi, clo, pos, mass, cells)
+    hi_s, lo_s, perm, (pos_s, mass_s, cells_s), resort_full = sorter(
+        chi, clo, pos, mass, cells, with_flag=True)
     inv_perm = _inv_permutation(perm)
     pidx = jnp.arange(n, dtype=I32)
 
@@ -437,4 +454,4 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None,
         node_cell=node_cell,
         n_nodes=n_nodes, overflow=overflow, box_size=box_size,
         tile_begin=tile_begin, tile_cnt=tile_cnt, tile_cell=tile_cell,
-        n_tiles=n_tiles)
+        n_tiles=n_tiles, resort_full=resort_full)

@@ -139,7 +139,8 @@ def _split_tiles(tiles):
 
 def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
                 tpos, tidx, blo, bhi, tables=None, tcell=None,
-                Lgrid=None, extra=None, mode="both", tcells=None):
+                Lgrid=None, extra=None, mode="both", tcells=None,
+                cand=None):
     """Traversal + gather + kernel for one chunk of tiles (shared by the
     single-chip and sharded paths).
 
@@ -159,10 +160,12 @@ def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
         n = td.pos.shape[0]
         tvalid = tidx[:, 0] < n
         tpcell, clo, chi = tcells
+        kw = {"cand": cand} if cand is not None else {}
         src = traversal_mod.build_shared_sources(td, cfg, theta, blo, bhi,
                                                  tables=tables,
                                                  tile_valid=tvalid,
-                                                 tcell_lo=clo, tcell_hi=chi)
+                                                 tcell_lo=clo, tcell_hi=chi,
+                                                 **kw)
         src_pos, src_mass, src_idx = src.pos, src.mass, src.idx
         mask, cell = src.mask, src.cell
         if extra is not None:
@@ -189,10 +192,11 @@ def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
         traversal_mod = _traversal_mod(cfg)
         n = td.pos.shape[0]
         tvalid = tidx[:, 0] < n
+        kw = {"cand": cand} if cand is not None else {}
         src = traversal_mod.build_shared_sources(td, cfg, theta, blo, bhi,
                                                  tables=tables,
                                                  tile_cell=tcell,
-                                                 tile_valid=tvalid)
+                                                 tile_valid=tvalid, **kw)
         mask = src.mask
         acc_l = pot_l = None
         if cfg.farfield in ("local", "grid"):
@@ -383,6 +387,31 @@ def _slice_query_jit(td, cfg, theta, eps, G, tiles, tables, Lgrid,
     def sl(a):
         return jax.lax.dynamic_slice_in_dim(a, start, K, axis=0)
 
+    sliced = tuple(sl(a) for a in tiles)
+
+    # lmac slice-level pre-filter: ONE relevance pass + compaction over
+    # the full node table for the whole slice; each chunk's predicate
+    # then runs over the GCAP candidate rows instead of all M nodes.
+    # This is what makes the walk scale: per-query cost goes from
+    # n_chunks x M (≈ N^2/(C·T·max_leaf)) to n_slices x M + n_chunks x
+    # GCAP. Bit-identical results (traversal3.GroupCand).
+    cand = None
+    if cfg.traversal_mode == "lmac" and _use_shared(cfg):
+        from . import traversal3
+        n = td.pos.shape[0]
+        (tpos_a, tidx_a, blo_a, bhi_a, _tc), sgx = _split_tiles(sliced)
+        D = blo_a.shape[-1]
+        flat_lo = blo_a.reshape(-1, D)
+        flat_hi = bhi_a.reshape(-1, D)
+        flat_valid = (tidx_a[..., 0] < n).reshape(-1)
+        kw = {}
+        if sgx is not None:
+            kw = dict(tcell_lo=sgx[1].reshape(-1, D),
+                      tcell_hi=sgx[2].reshape(-1, D))
+        cand = traversal3.build_group_candidates(
+            td, cfg, theta, flat_lo, flat_hi, tables,
+            tile_valid=flat_valid, **kw)
+
     def chunk_fn(args):
         if gx is not None:
             tpos, tidx, blo, bhi, tcell, tpc, clo, chi = args
@@ -392,11 +421,17 @@ def _slice_query_jit(td, cfg, theta, eps, G, tiles, tables, Lgrid,
             tcells = None
         return _eval_chunk(td, cfg, theta, eps, G, dtype, tpos, tidx,
                            blo, bhi, tables=tables, tcell=tcell,
-                           Lgrid=Lgrid, mode=mode, tcells=tcells)
+                           Lgrid=Lgrid, mode=mode, tcells=tcells,
+                           cand=cand)
 
-    acc, pot, ovf, mx = jax.lax.map(
-        chunk_fn, tuple(sl(a) for a in tiles))
-    return acc, pot, jnp.any(ovf, axis=0), jnp.max(mx, axis=0)
+    acc, pot, ovf, mx = jax.lax.map(chunk_fn, sliced)
+    ovf = jnp.any(ovf, axis=0)
+    mx = jnp.max(mx, axis=0)
+    if cand is not None:
+        # group-table capacity rides the frontier slot (cap 3 / max 2)
+        ovf = ovf.at[3].set(ovf[3] | cand.overflow)
+        mx = mx.at[2].set(jnp.maximum(mx[2], cand.count))
+    return acc, pot, ovf, mx
 
 
 @partial(jax.jit, static_argnames=("cfg",))

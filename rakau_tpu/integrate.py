@@ -58,8 +58,11 @@ def leapfrog_step_morton(state: NBodyState, dt, cfg: TreeConfig, theta,
     #3): each rebuild's input is the previous step's Morton order, so
     the verified blockwise near-sorted re-sort applies instead of the
     full global sort. Returns (new_state_in_new_Morton_order, ovf,
-    step_perm) where step_perm maps new-order slots to the INPUT order
-    of `state` (compose across steps to recover the original order)."""
+    step_perm, resort_full) where step_perm maps new-order slots to the
+    INPUT order of `state` (compose across steps to recover the original
+    order) and resort_full is True iff either rebuild fell back to the
+    full sort (a workload tripping this every step should stop passing
+    near_sorted — it pays both block sorts AND the full sort)."""
     td0 = _build.build_tree(state.pos, state.mass, cfg,
                             box_size=box_size, near_sorted=True)
     acc0, _, ovf0 = _engine.acc_pot_u(td0, cfg, theta, eps, G)
@@ -70,7 +73,8 @@ def leapfrog_step_morton(state: NBodyState, dt, cfg: TreeConfig, theta,
     acc1, _, ovf1 = _engine.acc_pot_u(td1, cfg, theta, eps, G)
     vel1 = vel_h[td1.perm] + 0.5 * dt * acc1
     step_perm = td0.perm[td1.perm]
-    return (NBodyState(td1.pos, vel1, td1.mass), ovf0 | ovf1, step_perm)
+    return (NBodyState(td1.pos, vel1, td1.mass), ovf0 | ovf1, step_perm,
+            td0.resort_full | td1.resort_full)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -145,7 +149,8 @@ def leapfrog_step_morton_host(state: NBodyState, dt, cfg: TreeConfig,
     """Host-sliced KDK step keeping the state in Morton order across
     steps (the incremental-rebuild pattern of leapfrog_step_morton at
     watchdog-safe dispatch sizes — BASELINE configs #2/#3 at 8M+).
-    Returns (new_state_in_new_Morton_order, ovf, step_perm)."""
+    Returns (new_state_in_new_Morton_order, ovf, step_perm,
+    resort_full)."""
     dt_ = jnp.asarray(dt, state.pos.dtype)
     td0 = _build_host(state.pos, state.mass, cfg, box_size,
                       near_sorted=True)
@@ -158,7 +163,8 @@ def leapfrog_step_morton_host(state: NBodyState, dt, cfg: TreeConfig,
                                                 slice_chunks=slice_chunks)
     vel1 = vel_h[td1.perm] + 0.5 * dt_ * acc1
     step_perm = td0.perm[td1.perm]
-    return (NBodyState(td1.pos, vel1, td1.mass), ovf0 | ovf1, step_perm)
+    return (NBodyState(td1.pos, vel1, td1.mass), ovf0 | ovf1, step_perm,
+            td0.resort_full | td1.resort_full)
 
 
 def total_energy_host(state: NBodyState, cfg: TreeConfig, theta, eps,

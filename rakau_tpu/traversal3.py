@@ -169,48 +169,25 @@ def _box_dist2_max_pt(alo, ahi, blo, bhi):
     return jnp.sum(d * d, axis=-1)
 
 
-def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
-                         box_lo, box_hi, tables: LmacTables = None,
-                         tile_cell=None, tile_valid=None,
-                         tcell_lo=None, tcell_hi=None) -> SharedSources:
-    """One chunk's shared sources by the local-MAC predicate (jittable).
+def _clamp_theta(cfg: TreeConfig, theta, dtype, D: int):
+    """bh_geom monotonicity clamp (see build_shared_sources)."""
+    theta = jnp.asarray(theta, dtype)
+    if cfg.mac == MAC_BH_GEOM:
+        theta = jnp.minimum(theta, jnp.asarray(2.0 / D ** 0.5, dtype))
+    return theta
 
-    Same contract as traversal2.build_shared_sources; overflow[3]
-    (frontier) is always False — there is no frontier."""
-    C, D = box_lo.shape
-    dtype = td.pos.dtype
-    n = td.pos.shape[0]
-    theta_inv = 1.0 / jnp.asarray(theta, dtype)
-    if tables is None:
-        tables = make_tables(td, cfg)
-    lm = tables.lm
+
+def _box_selection(lm, D, box, dtype, theta_inv, bh_geom, use_grid,
+                   L0, S_sep, ch_lo, ch_hi, ch_clo, ch_chi):
+    """The ONE fused elementwise relevance pass over node rows `lm`
+    against a bounding box (a tile chunk's or a whole slice group's).
+
+    Returns (m2p_sel, p2p_sel): conservative supersets of "some target
+    box inside [ch_lo, ch_hi] takes this row as M2P / P2P". Conservative
+    in the box: enlarging the box only enlarges both sets (dist_min
+    shrinks, dist_max grows, cell separations shrink), which is what
+    makes group-level pre-filtering sound (build_group_candidates)."""
     M = lm.shape[0]
-    use_grid = cfg.farfield in ("grid", "grid2") and tables.L0 > 0
-    emit_cells = cfg.farfield == "grid2" and use_grid
-    L0 = tables.L0 if use_grid else 0
-    S_sep = _grid_sep(cfg)
-    if tcell_lo is None:
-        tcell_lo = tile_cell
-    if tcell_hi is None:
-        tcell_hi = tile_cell
-    if tile_valid is None:
-        tile_valid = jnp.ones((C,), bool)
-
-    box = td.box_size
-    bh_geom = cfg.mac == MAC_BH_GEOM
-
-    # ---- chunk bounding geometry (valid tiles only) --------------------
-    big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
-    tv = tile_valid[:, None]
-    ch_lo = jnp.min(jnp.where(tv, box_lo, big), axis=0)        # [D]
-    ch_hi = jnp.max(jnp.where(tv, box_hi, -big), axis=0)
-    if use_grid:
-        bigc = jnp.asarray(1 << 30, I32)
-        ch_clo = jnp.min(jnp.where(tv, tcell_lo, bigc), axis=0)
-        ch_chi = jnp.max(jnp.where(tv, tcell_hi, -1), axis=0)
-
-    # ---- column views ---------------------------------------------------
-    com = lm[:, :D]
     mass = lm[:, D]
     center = lm[:, D + 1:2 * D + 1]
     lvl_leaf = lm[:, 2 * D + 1].astype(I32)
@@ -231,26 +208,7 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     plo = pcenter - 0.5 * e_p[:, None]
     phi = pcenter + 0.5 * e_p[:, None]
 
-    def cell_sep(qlo, qhi, lead_axes):
-        """Chebyshev separation of node eff cells vs a cell range.
-
-        qlo/qhi [..., D] broadcast against the [M] node axis; returns
-        int32 [..., M]."""
-        sh_t = jnp.maximum(L0 - lvl, 0)                          # [M]
-        fmask = (1 << L0) - 1
-        sep = None
-        for d in range(D):
-            nc = (cpack >> (d * L0)) & fmask                     # [M]
-            tl = qlo[..., d:d + 1] >> sh_t.reshape(
-                (1,) * lead_axes + (M,))
-            th = qhi[..., d:d + 1] >> sh_t.reshape(
-                (1,) * lead_axes + (M,))
-            sd = jnp.maximum(jnp.maximum(nc - th, tl - nc), 0)
-            sep = sd if sep is None else jnp.maximum(sep, sd)
-        return sep
-
-    # ---- per-node chunk predicate (ONE fused elementwise pass) ---------
-    # "some tile might open the parent" (conservative): the chunk box is
+    # "some target might open the parent" (conservative): the box is
     # within R_p of the parent's cell box, and the parent is acceptable
     # at all (below-L0 parents are never accepted -> always opened).
     d2_p = _box_dist2_min(ch_lo, ch_hi, plo, phi)               # [M]
@@ -259,9 +217,17 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
         par_acc_all = par_acc_all & (plvl >= L0)
     relevant = ~par_acc_all & (mass > 0)
     if use_grid:
-        # whole chunk covered by the stencil at v -> v contributes nothing
-        cov_chunk = cell_sep(ch_clo[None], ch_chi[None], 0)[0] >= S_sep
-        relevant = relevant & ~cov_chunk
+        # whole box covered by the stencil at v -> v contributes nothing
+        sh_t = jnp.maximum(L0 - lvl, 0)                          # [M]
+        fmask = (1 << L0) - 1
+        sep = None
+        for d in range(D):
+            nc = (cpack >> (d * L0)) & fmask                     # [M]
+            tl = ch_clo[d] >> sh_t
+            th = ch_chi[d] >> sh_t
+            sd = jnp.maximum(jnp.maximum(nc - th, tl - nc), 0)
+            sep = sd if sep is None else jnp.maximum(sep, sd)
+        relevant = relevant & (sep < S_sep)
     d2_vmin = _box_dist2_min(ch_lo, ch_hi, vlo, vhi)
     d2_vmax = _box_dist2_max_pt(ch_lo, ch_hi, vlo, vhi)
     some_accepts = d2_vmax > R_v * R_v            # conservative superset
@@ -271,6 +237,156 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
         some_opens = some_opens | (lvl < L0)
     m2p_sel = relevant & some_accepts
     p2p_sel = relevant & leaf & some_opens
+    return m2p_sel, p2p_sel
+
+
+class GroupCand:
+    """Slice-level candidate node rows (the lmac group pre-filter).
+
+    The per-chunk predicate pass costs O(node_capacity) per chunk — at
+    8M that is ~2M rows x ~660 chunks, the walk's scaling wall. A slice
+    of K chunks first runs the SAME selection against the slice's
+    bounding box (a conservative superset of every chunk's selection,
+    see _box_selection), compacts the survivors once, and hands the
+    per-chunk passes a GCAP-row candidate table instead of the full node
+    table. Results are bit-identical: the chunk predicate re-runs
+    exactly on the surviving rows (compaction preserves node order, so
+    downstream stable sorts tie-break identically)."""
+
+    def __init__(self, lm, begin, end, overflow, count):
+        self.lm = lm            # [GCAP, W] candidate rows (lm layout)
+        self.begin = begin      # [GCAP] int32 node_begin (0 for padding)
+        self.end = end          # [GCAP] int32 node_end (0 for padding)
+        self.overflow = overflow  # [] bool
+        self.count = count      # [] int32
+
+    def tree_flatten(self):
+        return (self.lm, self.begin, self.end, self.overflow,
+                self.count), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    GroupCand, GroupCand.tree_flatten, GroupCand.tree_unflatten)
+
+
+def build_group_candidates(td: TreeData, cfg: TreeConfig, theta,
+                           box_lo, box_hi, tables: LmacTables,
+                           tile_valid=None, tcell_lo=None, tcell_hi=None,
+                           cap: int = None) -> GroupCand:
+    """Conservative relevance pre-filter for a GROUP of tiles (jittable).
+
+    box_lo/box_hi [G, D]: every tile box in the group (typically one
+    host-driver slice = slice_chunks x tile_chunk tiles); tile_valid [G];
+    tcell_lo/tcell_hi [G, D] in grid2 mode. cap defaults to
+    cfg.frontier_cap — lmac has no walk frontier, so that capacity knob
+    (and its overflow flag / maxima slot) is reused for the group table;
+    the standard overflow-retry/tune_caps machinery then sizes it."""
+    dtype = td.pos.dtype
+    D = box_lo.shape[1]
+    theta = _clamp_theta(cfg, theta, dtype, D)
+    theta_inv = 1.0 / theta
+    lm = tables.lm
+    M = lm.shape[0]
+    use_grid = cfg.farfield in ("grid", "grid2") and tables.L0 > 0
+    L0 = tables.L0 if use_grid else 0
+    S_sep = _grid_sep(cfg)
+    if cap is None:
+        cap = cfg.frontier_cap
+    if tile_valid is None:
+        tile_valid = jnp.ones((box_lo.shape[0],), bool)
+    big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+    tv = tile_valid[:, None]
+    g_lo = jnp.min(jnp.where(tv, box_lo, big), axis=0)
+    g_hi = jnp.max(jnp.where(tv, box_hi, -big), axis=0)
+    g_clo = g_chi = None
+    if use_grid:
+        bigc = jnp.asarray(1 << 30, I32)
+        g_clo = jnp.min(jnp.where(tv, tcell_lo, bigc), axis=0)
+        g_chi = jnp.max(jnp.where(tv, tcell_hi, -1), axis=0)
+
+    m2p_sel, p2p_sel = _box_selection(
+        lm, D, td.box_size, dtype, theta_inv, cfg.mac == MAC_BH_GEOM,
+        use_grid, L0, S_sep, g_lo, g_hi, g_clo, g_chi)
+    sel = m2p_sel | p2p_sel
+    gidx, gcnt = su.compact_indices(sel, cap)
+    gvalid = gidx < M
+    gidx_c = jnp.clip(gidx, 0, M - 1)
+    glm = jnp.where(gvalid[:, None], lm[gidx_c], 0.0)
+    # padding rows: mass column already 0 -> never relevant downstream
+    begin = jnp.where(gvalid, td.node_begin[gidx_c], 0)
+    end = jnp.where(gvalid, td.node_end[gidx_c], 0)
+    return GroupCand(lm=glm, begin=begin, end=end,
+                     overflow=gcnt > cap, count=gcnt)
+
+
+def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
+                         box_lo, box_hi, tables: LmacTables = None,
+                         tile_cell=None, tile_valid=None,
+                         tcell_lo=None, tcell_hi=None,
+                         cand: GroupCand = None) -> SharedSources:
+    """One chunk's shared sources by the local-MAC predicate (jittable).
+
+    Same contract as traversal2.build_shared_sources. With `cand` (the
+    slice-level pre-filter from build_group_candidates) the predicate
+    pass runs over the GCAP candidate rows instead of the full node
+    table — bit-identical results, O(GCAP) instead of O(node_capacity)
+    per chunk; cand's own overflow rides overflow[3] (the frontier slot,
+    which lmac does not otherwise use)."""
+    C, D = box_lo.shape
+    dtype = td.pos.dtype
+    n = td.pos.shape[0]
+    # bh_geom monotonicity clamp: the partition proof (module docstring)
+    # needs A(t, parent) => A(t, child), which with bh_geom's delta term
+    # holds only for theta <= 2/sqrt(D). Clamp HERE — not at the API
+    # layer — so no direct caller (engine, LET, sharded, benchmarks) can
+    # run a non-monotone acceptance that double/zero-counts node masses.
+    # Clamping only tightens the MAC; Tree._query raises loudly too.
+    theta = _clamp_theta(cfg, theta, dtype, D)
+    theta_inv = 1.0 / theta
+    if tables is None:
+        tables = make_tables(td, cfg)
+    if cand is not None:
+        lm = cand.lm
+        node_begin, node_end = cand.begin, cand.end
+        ovf_cand = cand.overflow
+    else:
+        lm = tables.lm
+        node_begin, node_end = td.node_begin, td.node_end
+        ovf_cand = jnp.zeros((), bool)
+    M = lm.shape[0]
+    use_grid = cfg.farfield in ("grid", "grid2") and tables.L0 > 0
+    emit_cells = cfg.farfield == "grid2" and use_grid
+    L0 = tables.L0 if use_grid else 0
+    S_sep = _grid_sep(cfg)
+    if tcell_lo is None:
+        tcell_lo = tile_cell
+    if tcell_hi is None:
+        tcell_hi = tile_cell
+    if tile_valid is None:
+        tile_valid = jnp.ones((C,), bool)
+
+    box = td.box_size
+    bh_geom = cfg.mac == MAC_BH_GEOM
+
+    # ---- chunk bounding geometry (valid tiles only) --------------------
+    big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+    tv = tile_valid[:, None]
+    ch_lo = jnp.min(jnp.where(tv, box_lo, big), axis=0)        # [D]
+    ch_hi = jnp.max(jnp.where(tv, box_hi, -big), axis=0)
+    ch_clo = ch_chi = None
+    if use_grid:
+        bigc = jnp.asarray(1 << 30, I32)
+        ch_clo = jnp.min(jnp.where(tv, tcell_lo, bigc), axis=0)
+        ch_chi = jnp.max(jnp.where(tv, tcell_hi, -1), axis=0)
+
+    # ---- per-node chunk predicate (ONE fused elementwise pass) ---------
+    m2p_sel, p2p_sel = _box_selection(
+        lm, D, box, dtype, theta_inv, bh_geom, use_grid, L0, S_sep,
+        ch_lo, ch_hi, ch_clo, ch_chi)
 
     # ---- per-tile A(t, .) panels on compacted rows ----------------------
     tlo = box_lo[:, None, :]                                     # [C,1,D]
@@ -289,7 +405,7 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     uidx, ucnt = su.compact_indices(m2p_sel, ucap)
     uvalid = uidx < M
     uidx_c = jnp.clip(uidx, 0, M - 1)
-    ukey = jnp.where(uvalid, td.node_begin[uidx_c], n)
+    ukey = jnp.where(uvalid, node_begin[uidx_c], n)
     _, un_ids, uvalid = jax.lax.sort((ukey, uidx_c, uvalid), num_keys=1)
     m_row = lm[un_ids]                               # ONE row gather
     m_pos = jnp.where(uvalid[:, None], m_row[:, :D], sentinel)
@@ -346,7 +462,7 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     lidx, lcnt = su.compact_indices(p2p_sel, lcap)
     lvalid = lidx < M
     lidx_c = jnp.clip(lidx, 0, M - 1)
-    lkey = jnp.where(lvalid, td.node_begin[lidx_c], n)
+    lkey = jnp.where(lvalid, node_begin[lidx_c], n)
     _, lf_ids, lvalid = jax.lax.sort((lkey, lidx_c, lvalid), num_keys=1)
     ovf_leaf = lcnt > lcap
     l_row = lm[lf_ids]                               # ONE small row gather
@@ -360,8 +476,8 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
         l_acc = l_acc & (l_lvl >= L0)[None, :]
     leaf_mask = (~l_acc).T & lvalid[:, None]                     # [lcap, C]
 
-    lb = jnp.where(lvalid, td.node_begin[lf_ids], 0)
-    lc = jnp.where(lvalid, td.node_end[lf_ids] - td.node_begin[lf_ids], 0)
+    lb = jnp.where(lvalid, node_begin[lf_ids], 0)
+    lc = jnp.where(lvalid, node_end[lf_ids] - node_begin[lf_ids], 0)
     offs = jnp.cumsum(lc) - lc
     total_p = offs[-1] + lc[-1]
     ovf_p2p = total_p > pcap
@@ -407,6 +523,7 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     return SharedSources(
         pos=pos, mass=mass_o, idx=idx, mask=mask,
         count=jnp.minimum(ucnt, ucap) + jnp.minimum(total_p, pcap),
-        overflow=jnp.stack([ovf_uni, ovf_leaf, ovf_p2p, vary0 > 0]),
+        overflow=jnp.stack([ovf_uni, ovf_leaf, ovf_p2p,
+                            ovf_cand | (vary0 > 0)]),
         maxima=jnp.stack([ucnt, ucnt + total_p, vary0, lcnt]),
         cell=cell, quad=m_quad)

@@ -164,21 +164,9 @@ class Tree:
         performance cost, SURVEY.md §8)."""
         if getattr(self, "_last_stats", None) is None:
             raise RuntimeError("run a query first")
-        stats = [int(x) for x in self._last_stats]
-        m2p_max, p2p_max, f_max = stats[:3]
-        # leaf max measured directly (4th entry) — the old p2p//4
-        # heuristic could overshoot VMEM or undershoot into a retry
-        # recompile (VERDICT r1 weak item)
-        leaf_max = stats[3] if len(stats) > 3 else p2p_max // 4
-
-        def fit(v, q):
-            return max(q, -(-int(v * slack) // q) * q)
-
-        self._cfg = self._cfg.with_(
-            m2p_cap=fit(m2p_max, quantum),
-            p2p_src_cap=fit(p2p_max, 2 * quantum),
-            p2p_leaf_cap=max(256, fit(leaf_max, 256)),
-            frontier_cap=fit(f_max, 256))
+        from .config import fit_caps
+        self._cfg = fit_caps(self._cfg, self._last_stats, slack=slack,
+                             quantum=quantum)
         return self._cfg
 
     def accs_pots_u(self, theta, eps=0.0, G=1.0):

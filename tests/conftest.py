@@ -33,6 +33,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    # real `slow` marker so `make test-fast` (-m "not slow") actually
+    # deselects the expensive accuracy/matrix tests (VERDICT r2 item 9)
+    config.addinivalue_line(
+        "markers", "slow: multi-minute CPU test (deselected by test-fast)")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

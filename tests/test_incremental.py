@@ -123,8 +123,8 @@ def test_leapfrog_morton_matches_plain():
     for _ in range(3):
         s_plain, _ = integrate.leapfrog_step(s_plain, dt, cfg, theta,
                                              eps, box_size=box)
-        s_m, _, sp = integrate.leapfrog_step_morton(s_m, dt, cfg, theta,
-                                                    eps, box_size=box)
+        s_m, _, sp, _rf = integrate.leapfrog_step_morton(
+            s_m, dt, cfg, theta, eps, box_size=box)
         perm_total = perm_total[np.asarray(sp)]
     inv = np.argsort(perm_total)
     np.testing.assert_allclose(np.asarray(s_m.pos)[inv],

@@ -28,6 +28,7 @@ def single_chip(pos, mass, theta, eps):
     return np.asarray(acc)[inv], np.asarray(pot)[inv]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_let_matches_envelope(ndev):
     n = 8192
@@ -66,6 +67,7 @@ def test_let_uneven_n():
     assert acc.shape == (n, 3)
 
 
+@pytest.mark.slow
 def test_let_phase0_distributed_matches_global():
     """The sample-sort phase 0 must agree with the replicated-global-sort
     reference path to fp noise: domain boundaries differ (splitters vs

@@ -155,6 +155,7 @@ def test_lmac_host_path_and_2d():
     assert rms(rel_vec_err(a2, acc_o2)) < 1.1e-2
 
 
+@pytest.mark.slow
 def test_accuracy_gate_trajectory():
     """VERDICT r1 item 3d: the documented north-star trajectory config
     (lmac + grid2 order 6 / sep 3 + quadrupole near field, theta=0.5)
@@ -182,3 +183,94 @@ def test_lmac_bh_geom():
     a, _ = _query(pos, mass, cfg, 0.75)
     # bh_geom tightens near-field acceptance; envelope well under bh 0.75
     assert rms(rel_vec_err(a, acc_o)) < 8e-3
+
+
+def test_lmac_group_prefilter_identical():
+    """The slice-level group pre-filter (traversal3.build_group_candidates)
+    must be a pure superset pass: per-chunk sources built through the
+    candidate table are IDENTICAL (masks, rows, cells) to the direct
+    full-node-table pass, and the host driver (which groups per slice)
+    matches the ungrouped engine."""
+    from rakau_tpu import traversal3
+    n = 8192
+    pos, mass = particles.plummer(jax.random.PRNGKey(23), n)
+    cfg = BASE.with_(traversal_mode="lmac", farfield="grid2",
+                     local_order=3, grid_sep=2, grid_level=3,
+                     frontier_cap=8192)
+    td = build.build_tree(pos, mass, cfg)
+    tiles = engine._gather_tiles(td, cfg)
+    (tpos, tidx, blo, bhi, tcell), gx = engine._split_tiles(tiles)
+    tpc, clo, chi = gx
+    tabs = traversal3.make_tables(td, cfg)
+    th = jnp.float32(0.7)
+    D = blo.shape[-1]
+    flat_valid = (tidx[..., 0] < n).reshape(-1)
+    cand = traversal3.build_group_candidates(
+        td, cfg, th, blo.reshape(-1, D), bhi.reshape(-1, D), tabs,
+        tile_valid=flat_valid, tcell_lo=clo.reshape(-1, D),
+        tcell_hi=chi.reshape(-1, D))
+    assert not bool(np.asarray(cand.overflow))
+    for c in range(tpos.shape[0]):
+        tv = tidx[c][:, 0] < n
+        kw = dict(tables=tabs, tile_valid=tv, tcell_lo=clo[c],
+                  tcell_hi=chi[c])
+        s0 = traversal3.build_shared_sources(td, cfg, th, blo[c], bhi[c],
+                                             **kw)
+        s1 = traversal3.build_shared_sources(td, cfg, th, blo[c], bhi[c],
+                                             cand=cand, **kw)
+        np.testing.assert_array_equal(np.asarray(s0.mask),
+                                      np.asarray(s1.mask))
+        np.testing.assert_array_equal(np.asarray(s0.pos),
+                                      np.asarray(s1.pos))
+        np.testing.assert_array_equal(np.asarray(s0.mass),
+                                      np.asarray(s1.mass))
+        np.testing.assert_array_equal(np.asarray(s0.idx),
+                                      np.asarray(s1.idx))
+        np.testing.assert_array_equal(np.asarray(s0.cell),
+                                      np.asarray(s1.cell))
+
+    # engine level: host driver (grouped per slice) vs acc_pot_u
+    a_g, p_g, _ = engine.acc_pot_u(td, cfg, th, jnp.float32(0.0))
+    a_h, p_h, ovf, mx = engine.acc_pot_u_host(td, cfg, th,
+                                              jnp.float32(0.0), 1.0,
+                                              slice_chunks=4)
+    assert not bool(np.asarray(ovf).any())
+    np.testing.assert_allclose(np.asarray(a_h), np.asarray(a_g),
+                               rtol=2e-6, atol=1e-7)
+    assert int(np.asarray(mx)[2]) > 0          # group count surfaced
+
+
+def test_lmac_bh_geom_guard_unbypassable():
+    """VERDICT r2 item 6: direct engine callers (engine/LET/sharded/
+    benchmarks) bypass Tree._query's theta check — traversal3 must clamp
+    theta to the monotonicity bound 2/sqrt(D) itself, so bh_geom+lmac at
+    any theta keeps the exact mass partition and equals the clamped-theta
+    result bit for bit."""
+    n = 4096
+    pos, mass = particles.plummer(jax.random.PRNGKey(13), n)
+    cfg = BASE.with_(traversal_mode="lmac", mac="bh_geom")
+    td = build.build_tree(pos, mass, cfg)
+    bound = 2.0 / np.sqrt(3.0)
+
+    # engine path: theta far beyond the bound == theta at the bound
+    a_big, p_big, ovf1 = engine.acc_pot_u(td, cfg, jnp.float32(5.0),
+                                          jnp.float32(0.0))
+    a_bnd, p_bnd, ovf2 = engine.acc_pot_u(td, cfg, jnp.float32(bound),
+                                          jnp.float32(0.0))
+    assert not bool(np.asarray(ovf1).any() or np.asarray(ovf2).any())
+    np.testing.assert_array_equal(np.asarray(a_big), np.asarray(a_bnd))
+    np.testing.assert_array_equal(np.asarray(p_big), np.asarray(p_bnd))
+
+    # traversal level: mass partition stays exact above the bound
+    tiles = engine._gather_tiles(td, cfg)
+    (tpos, tidx, blo, bhi, tcell), _ = engine._split_tiles(tiles)
+    tm = engine._traversal_mod(cfg)
+    tabs = tm.make_tables(td, cfg)
+    total = float(jnp.sum(mass))
+    tv = tidx[0][:, 0] < n
+    src = tm.build_shared_sources(td, cfg, jnp.float32(5.0), blo[0],
+                                  bhi[0], tables=tabs, tile_cell=tcell[0],
+                                  tile_valid=tv)
+    ms = np.asarray(jnp.sum(
+        jnp.where(src.mask, src.mass[None, :], 0.0), axis=1))
+    np.testing.assert_allclose(ms[np.asarray(tv)], total, rtol=2e-5)

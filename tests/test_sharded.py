@@ -41,6 +41,7 @@ def test_shard_count_invariance(cloud, ndev):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_leapfrog_matches_single(cloud):
     pos, mass = cloud
     vel = jnp.zeros_like(pos)
