@@ -34,7 +34,8 @@ def _chunk_acc_pot(tgt_pos, tgt_idx, src_pos, src_mass, eps, G):
     inv_r = jnp.where(self_mask, 0.0, inv_r)
     w = src_mass[None, :] * inv_r
     pot = -G * jnp.sum(w, axis=1)
-    acc = G * jnp.einsum("tn,tnd->td", w * inv_r * inv_r, d)
+    acc = G * jnp.einsum("tn,tnd->td", w * inv_r * inv_r, d,
+                         precision=jax.lax.Precision.HIGHEST)
     return acc, pot
 
 

@@ -399,15 +399,18 @@ def _slice_query_jit(td, cfg, theta, eps, G, tiles, tables, Lgrid,
     if cfg.traversal_mode == "lmac" and _use_shared(cfg):
         from . import traversal3
         n = td.pos.shape[0]
-        (tpos_a, tidx_a, blo_a, bhi_a, _tc), sgx = _split_tiles(sliced)
+        (tpos_a, tidx_a, blo_a, bhi_a, tc_a), sgx = _split_tiles(sliced)
         D = blo_a.shape[-1]
         flat_lo = blo_a.reshape(-1, D)
         flat_hi = bhi_a.reshape(-1, D)
         flat_valid = (tidx_a[..., 0] < n).reshape(-1)
-        kw = {}
-        if sgx is not None:
+        if sgx is not None:                       # grid2: per-tile range
             kw = dict(tcell_lo=sgx[1].reshape(-1, D),
                       tcell_hi=sgx[2].reshape(-1, D))
+        else:
+            # farfield="grid": tiles are cell-clipped, one cell per tile
+            kw = dict(tcell_lo=tc_a.reshape(-1, D),
+                      tcell_hi=tc_a.reshape(-1, D))
         cand = traversal3.build_group_candidates(
             td, cfg, theta, flat_lo, flat_hi, tables,
             tile_valid=flat_valid, **kw)

@@ -146,6 +146,11 @@ def build_pyramid(td, ndim: int, depth: int, L0: int) -> Pyramid:
     flat = coords[0]
     for d in range(1, ndim):
         flat = flat * G + coords[d]
+    # MISCOMPILE GUARD: XLA:TPU fusing the dd boundary-gather segment sum
+    # into a relayout scatter writes zeros (v5e, 2026-08-19; bisected in
+    # benchmarks/ff_bisect3.py on grid2's identical pattern). Materialize
+    # the segment sums before scattering.
+    mass_m, w_m = jax.lax.optimization_barrier((mass_m, w_m))
     mass_l0 = jnp.zeros(ncells, dtype).at[flat].set(mass_m.astype(dtype))
     w_l0 = jnp.zeros((ncells, ndim), dtype).at[flat].set(w_m.astype(dtype))
 

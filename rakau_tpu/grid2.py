@@ -400,6 +400,13 @@ def build_pyramid(td, cfg, L0: int, q: int) -> Pyramid2:
     vals = jnp.stack(cols, axis=1)                   # [N, NM]
     hi, lo = su.dd_cumsum_cols(vals)
     mom_m = su.segment_sum_from_prefix_cols(hi, lo, b0, b1)   # [ncells, NM]
+    # MISCOMPILE GUARD (measured, do not remove): XLA:TPU fuses the dd
+    # boundary-gather segment sum into the relayout scatter below and the
+    # fused executable writes ZEROS for every cell (v5e, 2026-08-19;
+    # benchmarks/ff_bisect3.py bisects it to exactly this edge — barrier
+    # after mom_m PASSES, barrier anywhere earlier FAILS). Materializing
+    # mom_m ([ncells, NM], a few MB) breaks the bad fusion.
+    mom_m = jax.lax.optimization_barrier(mom_m)
 
     flat = _morton_to_rowmajor(ndim, L0)
     mom_l0 = jnp.zeros((ncells, NM), dtype).at[flat].set(mom_m.astype(dtype))
@@ -421,7 +428,11 @@ def build_pyramid(td, cfg, L0: int, q: int) -> Pyramid2:
             sl = tuple()
             for d in range(ndim):
                 sl = sl + (slice(None), b[d])
-            contrib = jnp.einsum("...j,ij->...i", cview[sl], S)
+            # HIGHEST: TPU einsum defaults to bf16 MXU passes (measured
+            # 2.1e-3 max dev vs CPU on identical inputs) — the shift
+            # matrices are tiny, full fp32 here is free
+            contrib = jnp.einsum("...j,ij->...i", cview[sl], S,
+                                 precision=lax.Precision.HIGHEST)
             parts = contrib if parts is None else parts + contrib
         moms[l] = parts.reshape(-1, NM)
     return Pyramid2(mom=tuple(moms[l] for l in range(L0 + 1)))
@@ -510,7 +521,8 @@ def dense_far_field(pyr: Pyramid2, cfg, L0: int, box_size, eps,
                 b = [(bidx >> d) & 1 for d in range(ndim)]
                 t = jnp.asarray([(bb - 0.5) * 0.5 for bb in b], dtype)
                 S = shift_matrix(t, ndim, p, "l2l", halving=True)
-                shifted.append(jnp.einsum("...j,ij->...i", Lp, S))
+                shifted.append(jnp.einsum("...j,ij->...i", Lp, S,
+                                          precision=lax.Precision.HIGHEST))
             cur = _interleave_parity(shifted, ndim, lead=0)  # [G.., NL]
             Ll = Ll + cur.reshape(-1, NL)
         Lcur = Ll

@@ -100,7 +100,8 @@ def eval_m2p(tgt_pos, src_pos, src_mass, eps, G, src_quad=None,
         s = s - center
         s2 = jnp.sum(s * s, axis=-1)
         ts = jnp.einsum("ctd,cbd->ctb", t, s,
-                        preferred_element_type=dtype)
+                        preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)
         r2 = jnp.maximum(t2[:, :, None] + s2[:, None, :] - 2 * ts, 0.0) + eps2
         inv_r = jax.lax.rsqrt(r2)
         inv_r = jnp.where((m[:, None, :] <= 0) | (r2 <= 0), 0.0, inv_r)
@@ -108,7 +109,8 @@ def eval_m2p(tgt_pos, src_pos, src_mass, eps, G, src_quad=None,
         w3 = w * inv_r * inv_r
         pot = pot - jnp.sum(w, axis=-1)
         acc = acc + jnp.einsum("ctb,cbd->ctd", w3, s,
-                               preferred_element_type=dtype)
+                               preferred_element_type=dtype,
+                               precision=jax.lax.Precision.HIGHEST)
         acc = acc - t * jnp.sum(w3, axis=-1)[:, :, None]
         if q is not None:
             acc, pot = _quad_terms(acc, pot, t, s, q, inv_r, dtype)
