@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import itertools
 import math
+import os
 from functools import lru_cache
 from typing import NamedTuple
 
@@ -464,9 +465,91 @@ def _interleave_parity(parts, ndim: int, lead: int):
     return cur.reshape(newshape)
 
 
+def _conv_precision():
+    """MXU precision of the M2L convs. 'highest' = full-f32 (6 bf16
+    passes); 'high' = 3 passes (~1e-6 relative per dot — inside the
+    far-field error budget and ~2x faster on the MXU); 'default' = one
+    bf16 pass (too coarse for order >= 4). Env: RAKAU_M2L_PREC."""
+    import os
+    return {"default": lax.Precision.DEFAULT,
+            "high": lax.Precision.HIGH,
+            "highest": lax.Precision.HIGHEST}[
+        os.environ.get("RAKAU_M2L_PREC", "highest")]
+
+
+def _parity_conv_zfold(M, W, ndim: int, G: int):
+    """out[t] = sum_o W[parity(t), ..o.., :, :] @ M[t+o] via 2-D convs.
+
+    Same math as _parity_conv, but the LAST spatial dim's K offsets are
+    folded into the input channels (K*NM) and that dim's cells become
+    the conv batch — XLA:TPU lowers 2-D convs far better than 3-D ones,
+    and the fatter channel dim amortizes the 128-lane padding of the
+    tiny NM/NL operand dims. Requires ndim == 3; _parity_conv remains
+    the generic path (ndim 1-2 grids are small anyway).
+
+    The folded tensor Z is K*NM x (G+K-1)^2 x zc floats, K x the source
+    grid — at G=128 order 6 sep 3 a full-batch fold is ~5 GB and OOMs
+    the chip's HBM (measured), so the conv batch (output z-planes) is
+    processed in power-of-two chunks bounded by ~512 MB of folded
+    input; chunk starts are static so each chunk is a plain strided
+    slice + one conv."""
+    NM = M.shape[-1]
+    NL = W.shape[-2]
+    K = W.shape[1]
+    pad = (K - 1) // 2
+    M3 = jnp.moveaxis(M.reshape((G,) * 3 + (NM,)), -1, 0)   # [NM, G, G, G]
+    # one extra zero z-plane: the last chunk's strided windows may read
+    # index (G + K - 2) + 1 when bz = 1
+    Mp = jnp.pad(M3, ((0, 0),) + ((pad, pad),) * 2 + ((pad, pad + 1),))
+    Gh = G // 2
+    dn = lax.conv_dimension_numbers(
+        (Gh, K * NM, G - 1 + K, G - 1 + K), (NL, K * NM, K, K),
+        ("NCHW", "OIHW", "NCHW"))
+    plane_bytes = K * NM * (G - 1 + K) ** 2 * 4
+    budget = int(os.environ.get("RAKAU_M2L_ZCHUNK_MB", 512)) << 20
+    zc = Gh
+    while zc > 1 and zc * plane_bytes > budget:
+        zc //= 2
+    outs = {}
+    for bz in range(2):
+        chunks = {0: [], 1: [], 2: [], 3: []}
+        for c in range(0, Gh, zc):
+            # z-fold: Z[(k, a), x, y, z'] = Mp[a, x, y, 2 z' + bz + k]
+            zsl = [Mp[:, :, :, 2 * c + bz + k:2 * c + bz + k + 2 * zc:2]
+                   for k in range(K)]
+            Z = jnp.concatenate(zsl, axis=0)    # [K*NM, G+2p, G+2p, zc]
+            Z = jnp.moveaxis(Z, -1, 0)          # [zc, K*NM, G+2p, G+2p]
+            for bx in range(2):
+                for by in range(2):
+                    # fold W's kz axis into channels, k major over NM
+                    # (the concat order above)
+                    Wb = jnp.moveaxis(W[bx | (by << 1) | (bz << 2)],
+                                      (3, 4), (0, 1))   # [NL,NM,kx,ky,kz]
+                    Wb = jnp.moveaxis(Wb, -1, 1)        # [NL,kz,NM,kx,ky]
+                    Wb = Wb.reshape(NL, K * NM, K, K)
+                    lhs = Z[:, :, bx:bx + G - 1 + K, by:by + G - 1 + K]
+                    chunks[bx | (by << 1)].append(lax.conv_general_dilated(
+                        lhs, Wb, window_strides=(2, 2), padding="VALID",
+                        dimension_numbers=dn,
+                        precision=_conv_precision()))  # [zc, NL, G/2, G/2]
+        for bxy, parts in chunks.items():
+            outs[bxy | (bz << 2)] = (parts[0] if len(parts) == 1
+                                     else jnp.concatenate(parts, axis=0))
+    full = jnp.zeros((G, G, G, NL), M.dtype)
+    for bidx, o in outs.items():
+        bx, by, bz = bidx & 1, (bidx >> 1) & 1, (bidx >> 2) & 1
+        o = jnp.moveaxis(o, (0, 1), (-2, -1))   # [x', y', z', NL]
+        full = full.at[bx::2, by::2, bz::2].set(o)
+    return full.reshape(-1, NL)
+
+
 def _parity_conv(M, W, ndim: int, G: int):
     """out[t] = sum_o W[parity(t), ..o.., :, :] @ M[t+o] via 2^D strided
     convs. M [G^D, NM]; W [2^D, (K,)*D, NL, NM]; returns [G^D, NL]."""
+    import os
+    if (ndim == 3 and G >= 4
+            and os.environ.get("RAKAU_M2L_CONV", "2d") == "2d"):
+        return _parity_conv_zfold(M, W, ndim, G)
     NM = M.shape[-1]
     NL = W.shape[-2]
     K = W.shape[1]
@@ -491,7 +574,7 @@ def _parity_conv(M, W, ndim: int, G: int):
         outs[bidx] = lax.conv_general_dilated(
             lhsp[sl], rhs, window_strides=(2,) * ndim,
             padding="VALID", dimension_numbers=dn,
-            precision=lax.Precision.HIGHEST)           # [1, NL, G/2...]
+            precision=_conv_precision())               # [1, NL, G/2...]
     full = _interleave_parity([outs[b] for b in range(2 ** ndim)],
                               ndim, lead=2)            # [1, NL, G...]
     return jnp.moveaxis(full, 1, -1).reshape(-1, NL)

@@ -42,6 +42,13 @@ def eval_shared(cfg: TreeConfig, tgt_pos, tgt_idx, src_pos, src_mass,
         backend = "pallas" if _on_tpu() else "xla"
     comp = cfg.accum == "compensated"
     sep = cfg.grid_sep if src_cell is not None else 0
+    if src_pos.shape[0] == 0:
+        # empty segment (e.g. an all-quad row's monopole launch): both
+        # kernels break on zero-length source rows
+        import jax.numpy as jnp
+        C, T, D = tgt_pos.shape
+        z = jnp.zeros((C, T, D), tgt_pos.dtype)
+        return z, jnp.zeros((C, T), tgt_pos.dtype)
     if src_quad is not None:
         U = src_quad.shape[0]
         a1, p1 = eval_shared(cfg, tgt_pos, tgt_idx, src_pos[U:],

@@ -602,22 +602,41 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
 
 
 # The fused kernel holds the full shared source row (ndim+2 f32 planes) in
-# VMEM plus a double-buffered mask row: ~28 B/entry against ~16 MB/core.
-FUSED_VMEM_SRC_LIMIT = 400_000  # source entries
+# VMEM plus a double-buffered mask row (~56-80 B/entry with Mosaic's
+# double-buffered row DMAs) against the fused_vmem_budget() (100 MB of
+# the v5e core's 128 MB VMEM; XLA's default scoped accounting of 16 MB
+# is overridden per-kernel via CompilerParams.vmem_limit_bytes).
+FUSED_VMEM_SRC_LIMIT = 524_288  # source entries
+
+
+def fused_vmem_budget() -> int:
+    """Per-kernel VMEM budget (bytes) handed to the Mosaic compiler.
+
+    XLA's default *scoped* VMEM accounting caps every custom call at
+    16 MB, but the v5e core has 128 MB of VMEM — the fused kernel's
+    source rows were being segmented (and its block size halved) around
+    an artificial limit. pltpu.CompilerParams(vmem_limit_bytes=...)
+    raises the budget for this kernel alone. 100 MB leaves headroom for
+    XLA-side buffers sharing the core. RAKAU_PALLAS_VMEM_MB overrides."""
+    import os
+    return int(os.environ.get("RAKAU_PALLAS_VMEM_MB", 100)) * 1024 * 1024
 
 
 def fused_vmem_src_limit(grid_sep: int = 0, has_quad: bool = False) -> int:
-    """Max source-row entries the fused kernel can hold in scoped VMEM.
+    """Max source-row entries the fused kernel holds in VMEM at once.
 
-    grid2 rows are fatter (packed cell plane + per-pair coverage panels
-    in the fori body): measured on v5e, S=393216 with coverage needed
-    22.36 MB scoped vmem against the 16 MB limit, while S=139264
-    compiles — so the grid2 ceiling sits near 200k entries; 160k leaves
-    slack for the quad panels. dispatch.eval_shared segments oversize
-    rows, so a conservative limit costs a few extra launches, never a
-    wrong answer or an XLA fallback."""
-    if grid_sep:
-        return 120_000 if has_quad else 160_000
+    With fused_vmem_budget() = 100 MB (vs XLA's default 16 MB scoped
+    accounting, which forced 64k-row segments and halved blocks all
+    through round 2), measured on v5e 2026-08-19: grid2 mono S=524288
+    block 2048 compiles and runs at 88 Gpairs/s (benchmarks/
+    vmem_probe.py). Budget model at block 2048, T=512: rows ~56 B
+    (double-buffered f32 planes: D pos + mass + idx + packed cell),
+    +24 B with quad planes, + live (T, block) panels ~20 MB (+~25 MB
+    quad). 524288 rows * 80 B + 45 MB = 87 MB fits; leave quad a
+    margin. dispatch.eval_shared segments oversize rows — a
+    conservative limit costs extra launches, never a wrong answer."""
+    if has_quad:
+        return 320_000
     return FUSED_VMEM_SRC_LIMIT
 
 
@@ -628,16 +647,16 @@ def fused_block_default(grid_sep: int = 0, has_quad: bool = False) -> int:
     mirrors the kernel's block compaction and must agree (a 512/256
     divergence made quadrupole density figures wrong, VERDICT r2).
 
-    grid2 coverage testing adds live (T, B) panels to the Mosaic stack
-    and quadrupole adds ~6 more (qdx/dqd/f5/f7): each halves the block
-    (1024 plain, 512 with either, 256 with both — block 512 + grid_sep
-    + quad measured 16.45M scoped VMEM vs the 16 MB/core limit on v5e).
+    Measured roofs (v5e, benchmarks/vmem_probe.py under the 100 MB
+    fused_vmem_budget, 2026-08-19, S=262144/524288): plain mono
+    124.5/131.5-138.0/122.3-128.6/96.2 Gpairs/s at block
+    1024/2048/4096/8192; grid2 mono 80.0/85.4-88.2/77.1-79.6/62.7 —
+    block 2048 is the sweet spot for both (bigger panels lose to VMEM
+    pressure, smaller to per-step overhead). Quadrupole adds ~6 live
+    (T, B) panels (qdx/dqd/f5/f7), so quad launches halve the block.
     RAKAU_PALLAS_BLOCK overrides everything."""
     import os
-    if has_quad:
-        dflt = 256 if grid_sep else 512
-    else:
-        dflt = 512 if grid_sep else 1024
+    dflt = 1024 if has_quad else 2048
     return int(os.environ.get("RAKAU_PALLAS_BLOCK", dflt))
 
 
@@ -760,6 +779,8 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
         out_shape=[jax.ShapeDtypeStruct((C, T, 1), jnp.float32)
                    for _ in range(D + 1)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=fused_vmem_budget()),
     )(ids, cnt, eps2, *tgt_planes, *src_planes, mask3)
     acc = jnp.concatenate(outs[:D], axis=2)
     pot = outs[D][:, :, 0]

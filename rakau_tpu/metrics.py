@@ -237,6 +237,11 @@ def measure_kernel_roof(cfg: TreeConfig, n_src: int = 262144,
     grid2_mode = cfg.farfield == "grid2"
     scell = jnp.zeros((S, D), jnp.int32) if grid2_mode else None
     tcell = jnp.zeros((C, T, D), jnp.int32) if grid2_mode else None
+    # quadrupole roof: every source carries second-moment planes, as on
+    # the benched query's node-row launch (without this the "quad" roof
+    # silently measured the monopole kernel)
+    squad = (jnp.ones((S, D * (D + 1) // 2), jnp.float32) * 1e-6
+             if cfg.multipole_order >= 2 else None)
     ep = jnp.float32(0.0)
     g = jnp.float32(1.0)
 
@@ -245,7 +250,7 @@ def measure_kernel_roof(cfg: TreeConfig, n_src: int = 262144,
         def step(t, _):
             a, p = dispatch.eval_shared(cfg, t, tidx, src, smass, sidx,
                                         mask, ep, g, src_cell=scell,
-                                        tgt_cell=tcell)
+                                        tgt_cell=tcell, src_quad=squad)
             # feed the output into the next iteration's targets so the
             # body cannot be hoisted as loop-invariant
             return t + 1e-12 * a, p[0, 0]
