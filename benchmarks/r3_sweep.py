@@ -146,7 +146,9 @@ def _combo_env(combo: str):
     return env
 
 
-def _spawn(child: str, env, timeout_s: int = 3600) -> int:
+def _spawn(child: str, env, timeout_s: int = None) -> int:
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("RAKAU_CHILD_TIMEOUT", 3600))
     env = dict(env)
     env["RAKAU_R3_CHILD"] = child
     try:

@@ -180,15 +180,20 @@ def collect_shared_density(td: TreeData, cfg: TreeConfig, theta,
                          + seg_processed(mask[:, U:], False))
         else:
             processed = seg_processed(mask, False)
-        return useful, processed, mask.shape[1]
+        return useful, processed
 
     take = min(n_live, max_chunks)
     useful = processed = slots = 0.0
+    # the shared row is the m2p + p2p caps by construction
+    # (traversal{2,3}.build_shared_sources concatenates exactly those);
+    # host-side because a jit-returned python-int constant came back 0
+    # on the axon backend (slot_density printed as useful_pairs, r3)
+    s0 = cfg.m2p_cap + cfg.p2p_src_cap
     for c in range(take):
         clo = gx[1][c] if gx is not None else None
         chi = gx[2][c] if gx is not None else None
-        u, p, s0 = chunk_stats(td, tables, tpos_a[c], tidx_a[c], blo_a[c],
-                               bhi_a[c], tcell_a[c], clo, chi)
+        u, p = chunk_stats(td, tables, tpos_a[c], tidx_a[c], blo_a[c],
+                           bhi_a[c], tcell_a[c], clo, chi)
         useful += float(u)
         processed += float(p)
         slots += float(CH * s0 * T)

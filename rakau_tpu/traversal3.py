@@ -372,30 +372,69 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     box = td.box_size
     bh_geom = cfg.mac == MAC_BH_GEOM
 
-    # ---- chunk bounding geometry (valid tiles only) --------------------
-    big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
-    tv = tile_valid[:, None]
-    ch_lo = jnp.min(jnp.where(tv, box_lo, big), axis=0)        # [D]
-    ch_hi = jnp.max(jnp.where(tv, box_hi, -big), axis=0)
-    ch_clo = ch_chi = None
-    if use_grid:
-        bigc = jnp.asarray(1 << 30, I32)
-        ch_clo = jnp.min(jnp.where(tv, tcell_lo, bigc), axis=0)
-        ch_chi = jnp.max(jnp.where(tv, tcell_hi, -1), axis=0)
+    # ---- EXACT per-tile membership panels over all candidate rows ------
+    # Selection by the chunk's bounding box (a conservative superset) is
+    # catastrophic for concentrated distributions: a chunk of scattered
+    # sparse tiles has a bounding box wrapping the whole core, so its
+    # m2p/p2p capacity — and every chunk's padded panel cost — was sized
+    # by rows NO tile actually uses (measured at 262k Plummer: worst
+    # chunk 54 real targets, 252k p2p rows). One elementwise [C, K]
+    # panel pass over the candidate rows instead gives the exact
+    # per-tile predicate BEFORE compaction; rows are kept iff SOME tile
+    # takes them, and the per-tile masks are sliced from the same
+    # panels. Cost: O(C * K) elementwise — the pass the per-tile masks
+    # needed anyway, now reused for selection.
+    mass_r = lm[:, D]
+    center_r = lm[:, D + 1:2 * D + 1]
+    lvl_leaf_r = lm[:, 2 * D + 1].astype(I32)
+    lvl_r = lvl_leaf_r & 63
+    leaf_r = lvl_leaf_r >= 64
+    plvl_r = lm[:, 2 * D + 2]
+    e_r = box * jnp.exp2(-lvl_r.astype(dtype))
+    R_r = e_r * theta_inv + (lm[:, 2 * D + 3] if bh_geom else 0.0)
+    pe_r = box * jnp.exp2(-plvl_r)
+    pR_r = pe_r * theta_inv + (lm[:, 2 * D + 4] if bh_geom else 0.0)
+    pctr_r = lm[:, 2 * D + 6:3 * D + 6]
+    cpack_r = lm[:, 2 * D + 5].astype(I32)
 
-    # ---- per-node chunk predicate (ONE fused elementwise pass) ---------
-    m2p_sel, p2p_sel = _box_selection(
-        lm, D, box, dtype, theta_inv, bh_geom, use_grid, L0, S_sep,
-        ch_lo, ch_hi, ch_clo, ch_chi)
-
-    # ---- per-tile A(t, .) panels on compacted rows ----------------------
     tlo = box_lo[:, None, :]                                     # [C,1,D]
     thi = box_hi[:, None, :]
 
-    def tile_accepts(rlo, rhi, R):
-        """[C, K] A(t, row) for row boxes rlo/rhi [K, D], radii R [K]."""
+    def tile_accepts(ctr, e, R):
+        """[C, K] A(t, row) for row cell boxes (center ctr, edge e)."""
+        rlo = ctr - 0.5 * e[:, None]
+        rhi = ctr + 0.5 * e[:, None]
         d2 = _box_dist2_min(tlo, thi, rlo[None], rhi[None])
         return d2 > (R * R)[None, :]
+
+    acc_v_all = tile_accepts(center_r, e_r, R_r)                 # [C, K]
+    acc_p_all = tile_accepts(pctr_r, pe_r, pR_r)
+    if use_grid:
+        acc_v_all = acc_v_all & (lvl_r >= L0)[None, :]
+        acc_p_all = acc_p_all & (plvl_r >= L0)[None, :]
+    live = tile_valid[:, None] & (mass_r > 0)[None, :]
+    m2p_pan = acc_v_all & ~acc_p_all & live                      # [C, K]
+    p2p_pan = ~acc_v_all & leaf_r[None, :] & live
+    if use_grid:
+        # per-tile stencil-coverage drop (sep >= S at the row's
+        # effective grid level against this tile's cell range) — sound
+        # for leaves above L0 too: separation at a coarser level only
+        # scales up under refinement
+        sh_t = jnp.maximum(L0 - lvl_r, 0)
+        fmask = (1 << L0) - 1
+        sep = None
+        for d in range(D):
+            nc = (cpack_r >> (d * L0)) & fmask
+            tl2 = tcell_lo[:, d:d + 1] >> sh_t[None, :]
+            th2 = tcell_hi[:, d:d + 1] >> sh_t[None, :]
+            sd = jnp.maximum(jnp.maximum(nc[None, :] - th2,
+                                         tl2 - nc[None, :]), 0)
+            sep = sd if sep is None else jnp.maximum(sep, sd)
+        keep = sep < S_sep
+        m2p_pan = m2p_pan & keep
+        p2p_pan = p2p_pan & keep
+    m2p_sel = jnp.any(m2p_pan, axis=0)                           # [K]
+    p2p_sel = jnp.any(p2p_pan, axis=0)
 
     sentinel = jnp.asarray(4.0, dtype) * box
     ucap = cfg.m2p_cap
@@ -413,39 +452,12 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     m_idx = jnp.full(ucap, -1, I32)
     ovf_uni = ucnt > ucap
 
-    m_lvl = m_row[:, 2 * D + 1].astype(I32) & 63
-    m_e = box * jnp.exp2(-m_lvl.astype(dtype))
-    m_R = m_e * theta_inv + (m_row[:, 2 * D + 3] if bh_geom else 0.0)
-    m_ctr = m_row[:, D + 1:2 * D + 1]
-    m_plvl = m_row[:, 2 * D + 2]
-    m_pe = box * jnp.exp2(-m_plvl)
-    m_pR = m_pe * theta_inv + (m_row[:, 2 * D + 4] if bh_geom else 0.0)
-    m_pctr = m_row[:, 2 * D + 6:3 * D + 6]
-    acc_v = tile_accepts(m_ctr - 0.5 * m_e[:, None],
-                         m_ctr + 0.5 * m_e[:, None], m_R)
-    acc_p = tile_accepts(m_pctr - 0.5 * m_pe[:, None],
-                         m_pctr + 0.5 * m_pe[:, None], m_pR)
-    if use_grid:
-        acc_v = acc_v & (m_lvl >= L0)[None, :]
-        acc_p = acc_p & (m_plvl >= L0)[None, :]
-    m_mask = acc_v & ~acc_p & uvalid[None, :]                    # [C, ucap]
-    m_cpack = m_row[:, 2 * D + 5].astype(I32)
-    if use_grid:
-        # per-tile stencil-coverage drop (sep >= S for this tile's range)
-        sh_t = jnp.maximum(L0 - m_lvl, 0)
-        fmask = (1 << L0) - 1
-        sep = None
-        for d in range(D):
-            nc = (m_cpack >> (d * L0)) & fmask
-            tl2 = tcell_lo[:, d:d + 1] >> sh_t[None, :]
-            th2 = tcell_hi[:, d:d + 1] >> sh_t[None, :]
-            sd = jnp.maximum(jnp.maximum(nc[None, :] - th2,
-                                         tl2 - nc[None, :]), 0)
-            sep = sd if sep is None else jnp.maximum(sep, sd)
-        m_mask = m_mask & (sep < S_sep)
-    m_mask = m_mask.T                                            # [ucap, C]
+    # per-tile mask = the SAME panel, sliced at the compacted rows
+    m_mask = (jnp.take_along_axis(m2p_pan, un_ids[None, :], axis=1)
+              & uvalid[None, :]).T                               # [ucap, C]
     m_cell = None
     if emit_cells:
+        m_cpack = m_row[:, 2 * D + 5].astype(I32)
         fmask = (1 << L0) - 1
         m_cell = jnp.stack(
             [(m_cpack >> (d * L0)) & fmask for d in range(D)], axis=1)
@@ -465,16 +477,8 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     lkey = jnp.where(lvalid, node_begin[lidx_c], n)
     _, lf_ids, lvalid = jax.lax.sort((lkey, lidx_c, lvalid), num_keys=1)
     ovf_leaf = lcnt > lcap
-    l_row = lm[lf_ids]                               # ONE small row gather
-    l_lvl = l_row[:, 2 * D + 1].astype(I32) & 63
-    l_e = box * jnp.exp2(-l_lvl.astype(dtype))
-    l_R = l_e * theta_inv + (l_row[:, 2 * D + 3] if bh_geom else 0.0)
-    l_ctr = l_row[:, D + 1:2 * D + 1]
-    l_acc = tile_accepts(l_ctr - 0.5 * l_e[:, None],
-                         l_ctr + 0.5 * l_e[:, None], l_R)
-    if use_grid:
-        l_acc = l_acc & (l_lvl >= L0)[None, :]
-    leaf_mask = (~l_acc).T & lvalid[:, None]                     # [lcap, C]
+    leaf_mask = (jnp.take_along_axis(p2p_pan, lf_ids[None, :], axis=1)
+                 ).T & lvalid[:, None]                           # [lcap, C]
 
     lb = jnp.where(lvalid, node_begin[lf_ids], 0)
     lc = jnp.where(lvalid, node_end[lf_ids] - node_begin[lf_ids], 0)

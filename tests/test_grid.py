@@ -118,8 +118,12 @@ def test_dense_far_field_matches_direct_covered_sum(rng):
         assert abs(float(pot_l[0, 0]) - pot_e) < 5e-3 * abs(pot_e) + 1e-7, tc
 
 
+@pytest.mark.slow
 def test_grid_mode_accuracy_vs_direct():
-    """End-to-end: farfield='grid' stays inside the local-mode envelope."""
+    """End-to-end: farfield='grid' stays inside the local-mode envelope.
+
+    slow: two full engine compiles (~260 s on the 1-core CI box); the
+    legacy 'grid' far field is diagnostic-only since grid2 (round 3)."""
     from rakau_tpu import direct
     n = 8192
     pos, mass = particles.plummer(jax.random.PRNGKey(6), n)

@@ -30,7 +30,9 @@ def _query(pos, mass, cfg, theta, eps=0.0):
     return np.asarray(acc)[inv], np.asarray(pot)[inv]
 
 
-@pytest.mark.parametrize("dist", ["uniform", "plummer"])
+@pytest.mark.parametrize("dist", [
+    pytest.param("uniform", marks=pytest.mark.slow),  # plummer covers
+    "plummer"])
 def test_lmac_within_shared_envelope(dist):
     n = 8192
     if dist == "plummer":
