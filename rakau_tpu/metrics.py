@@ -189,7 +189,14 @@ def collect_shared_density(td: TreeData, cfg: TreeConfig, theta,
     # host-side because a jit-returned python-int constant came back 0
     # on the axon backend (slot_density printed as useful_pairs, r3)
     s0 = cfg.m2p_cap + cfg.p2p_src_cap
-    for c in range(take):
+    # STRIDED sample: with tile clipping (tile_clip_level / grid mode)
+    # tiles are heterogeneous — the first chunks are near-empty halo
+    # tiles, and extrapolating them linearly reported 3.6 useful
+    # pairs/particle on a query whose RMS proved the masks were fine
+    # (r3). Evenly-spaced chunks keep the extrapolation honest.
+    sample = [int(round(i * (n_live - 1) / max(take - 1, 1)))
+              for i in range(take)]
+    for c in sample:
         clo = gx[1][c] if gx is not None else None
         chi = gx[2][c] if gx is not None else None
         u, p = chunk_stats(td, tables, tpos_a[c], tidx_a[c], blo_a[c],
