@@ -315,6 +315,16 @@ def build_group_candidates(td: TreeData, cfg: TreeConfig, theta,
     gidx, gcnt = su.compact_indices(sel, cap)
     gvalid = gidx < M
     gidx_c = jnp.clip(gidx, 0, M - 1)
+    # Pre-sort the candidate table by (node_begin, node_idx) ONCE per
+    # slice. Per-chunk compaction preserves row order, so every chunk's
+    # selected rows come out already in the (begin, node_idx) order the
+    # per-chunk Morton re-sorts used to produce — build_shared_sources
+    # skips its two lax.sorts when given a cand table. Bit-identical:
+    # the chunk sort was stable on begin with compaction (= ascending
+    # node idx) ties, which is exactly this key pair.
+    n = td.pos.shape[0]
+    gkey = jnp.where(gvalid, td.node_begin[gidx_c], n)
+    _, gidx_c, gvalid = jax.lax.sort((gkey, gidx_c, gvalid), num_keys=1)
     glm = jnp.where(gvalid[:, None], lm[gidx_c], 0.0)
     # padding rows: mass column already 0 -> never relevant downstream
     begin = jnp.where(gvalid, td.node_begin[gidx_c], 0)
@@ -440,12 +450,19 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     ucap = cfg.m2p_cap
 
     # M2P rows: Morton re-sort by node_begin (clusters a tile's active
-    # sources for the fused kernel's block compaction, as traversal2)
+    # sources for the fused kernel's block compaction, as traversal2).
+    # A cand table is already (begin, node_idx)-sorted by
+    # build_group_candidates, and compaction preserves row order — skip
+    # the per-chunk sort entirely in that case (bit-identical order).
     uidx, ucnt = su.compact_indices(m2p_sel, ucap)
     uvalid = uidx < M
     uidx_c = jnp.clip(uidx, 0, M - 1)
-    ukey = jnp.where(uvalid, node_begin[uidx_c], n)
-    _, un_ids, uvalid = jax.lax.sort((ukey, uidx_c, uvalid), num_keys=1)
+    if cand is not None:
+        un_ids = uidx_c
+    else:
+        ukey = jnp.where(uvalid, node_begin[uidx_c], n)
+        _, un_ids, uvalid = jax.lax.sort((ukey, uidx_c, uvalid),
+                                         num_keys=1)
     m_row = lm[un_ids]                               # ONE row gather
     m_pos = jnp.where(uvalid[:, None], m_row[:, :D], sentinel)
     m_mass = jnp.where(uvalid, m_row[:, D], 0.0)
@@ -474,8 +491,12 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     lidx, lcnt = su.compact_indices(p2p_sel, lcap)
     lvalid = lidx < M
     lidx_c = jnp.clip(lidx, 0, M - 1)
-    lkey = jnp.where(lvalid, node_begin[lidx_c], n)
-    _, lf_ids, lvalid = jax.lax.sort((lkey, lidx_c, lvalid), num_keys=1)
+    if cand is not None:
+        lf_ids = lidx_c
+    else:
+        lkey = jnp.where(lvalid, node_begin[lidx_c], n)
+        _, lf_ids, lvalid = jax.lax.sort((lkey, lidx_c, lvalid),
+                                         num_keys=1)
     ovf_leaf = lcnt > lcap
     leaf_mask = (jnp.take_along_axis(p2p_pan, lf_ids[None, :], axis=1)
                  ).T & lvalid[:, None]                           # [lcap, C]
