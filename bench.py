@@ -67,8 +67,6 @@ def main():
     )
     if os.environ.get("RAKAU_BENCH_GRIDLEVEL"):
         cfg = cfg.with_(grid_level=int(os.environ["RAKAU_BENCH_GRIDLEVEL"]))
-    if os.environ.get("RAKAU_BENCH_CLIP"):
-        cfg = cfg.with_(tile_clip_level=int(os.environ["RAKAU_BENCH_CLIP"]))
 
     build_jit = jax.jit(build.build_tree, static_argnames=("cfg",))
 

@@ -1,0 +1,224 @@
+"""Round-4 on-chip probes (VERDICT r3 items 1/2/6).
+
+Sections (RAKAU_R4 env, comma list; each runs in its own subprocess so
+one RESOURCE_EXHAUSTED cannot poison the rest — same pattern as
+r3_sweep):
+
+  attr8m : per-op device attribution of ONE host-driver slice of the 8M
+           shared+grid bench config (after the same overflow/fit_caps
+           flow bench.py runs), plus the far field and assembly — owns
+           the "where do the other 6.6 s go" question.
+  mxu    : MXU fused-kernel variant (pallas._shared_fused_kernel_mxu):
+           on-chip correctness vs the VPU kernel at small size, then
+           measure_kernel_roof for mono/grid2 at y_prec
+           default/high/highest vs the VPU baseline. Go/no-go data.
+  rooft  : kernel roof vs tile width (ncrit 512/256/128) for mono and
+           grid2 — the tile-size lever trades union inflation against
+           panel efficiency; this is the panel-efficiency side.
+"""
+import os
+import subprocess
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def _bench_cfg_8m():
+    """The bench-default 8M shared+grid config."""
+    from rakau_tpu.config import TreeConfig
+    return TreeConfig(max_depth=14, max_leaf_n=32, ncrit=512,
+                      tile_chunk=32, m2p_cap=8192, p2p_leaf_cap=2048,
+                      p2p_src_cap=65536, frontier_cap=1024,
+                      farfield="grid", traversal_mode="shared",
+                      local_order=3, grid_sep=3)
+
+
+def run_attr8m():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from trace_attr import trace_call
+    from rakau_tpu import build, engine, particles
+    from rakau_tpu.config import fit_caps
+
+    n = int(os.environ.get("RAKAU_BENCH_N", 8_388_608))
+    cfg = _bench_cfg_8m()
+    pos, mass = particles.plummer(jax.random.PRNGKey(0), n)
+    t0 = time.time()
+    td = jax.block_until_ready(
+        jax.jit(build.build_tree, static_argnames=("cfg",))(pos, mass, cfg))
+    log(f"build done {time.time()-t0:.0f}s n_tiles={int(td.n_tiles)}")
+    th = jnp.asarray(0.75, jnp.float32)
+    ep = jnp.asarray(0.0, jnp.float32)
+    g = jnp.asarray(1.0, jnp.float32)
+    # the same cap-growth + fit flow bench.py uses, so the traced slice
+    # runs the exact benched executable
+    acc, pot, ovf, mx = engine.acc_pot_u_host(td, cfg, th, ep, g)
+    for _ in range(6):
+        flags = np.asarray(ovf)
+        if not flags.any():
+            break
+        fields = ("m2p_cap", "p2p_leaf_cap", "p2p_src_cap",
+                  "frontier_cap")
+        cfg = cfg.with_(**{f: 2 * getattr(cfg, f)
+                           for f, hit in zip(fields, flags) if hit})
+        acc, pot, ovf, mx = engine.acc_pot_u_host(td, cfg, th, ep, g)
+    cfg = fit_caps(cfg, np.asarray(mx))
+    log(f"caps: m2p={cfg.m2p_cap} p2pleaf={cfg.p2p_leaf_cap} "
+        f"p2psrc={cfg.p2p_src_cap} frontier={cfg.frontier_cap}")
+    t0 = time.time()
+    acc, pot, ovf, mx = engine.acc_pot_u_host(td, cfg, th, ep, g)
+    jax.block_until_ready(acc)
+    log(f"fit-caps query: {time.time()-t0:.2f}s (incl recompiles? warm "
+        f"check below)")
+    t0 = time.time()
+    acc, pot, ovf, mx = engine.acc_pot_u_host(td, cfg, th, ep, g)
+    jax.block_until_ready(acc)
+    full_q = time.time() - t0
+    log(f"warm full query: {full_q:.2f}s")
+
+    tiles, tables = engine._tiles_jit(td, cfg)
+    Lgrid = engine._grid_jit(td, cfg, ep)
+    n_chunks = tiles[0].shape[0]
+    CH = tiles[0].shape[1]
+    n_live = max(1, -(-int(td.n_tiles) // CH))
+    K = min(32, n_live)
+    log(f"n_chunks={n_chunks} live={n_live} tile_chunk={CH} K={K} "
+        f"slices={-(-n_live // K)}")
+    slice_ms = trace_call("slice32_8m", lambda: engine._slice_query_jit(
+        td, cfg, th, ep, g, tiles, tables, Lgrid, 0, K))
+    log(f"slice of {K} chunks: {slice_ms:.1f} ms device "
+        f"-> {slice_ms/K:.2f} ms/chunk "
+        f"-> {slice_ms * (n_live / K) / 1e3:.2f}s extrapolated")
+    if Lgrid is not None:
+        trace_call("gridfar_8m", lambda: engine._grid_jit(td, cfg, ep))
+    trace_call("tiles_gather_8m", lambda: engine._tiles_jit(td, cfg))
+    trace_call("build_8m", lambda: jax.jit(
+        build.build_tree, static_argnames=("cfg",))(pos, mass, cfg))
+
+
+def run_mxu():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from rakau_tpu.kernels import pallas as pk
+    from rakau_tpu import metrics
+    from rakau_tpu.config import TreeConfig
+
+    rng = np.random.default_rng(0)
+    C, T, D, S = 4, 512, 3, 4096
+    tgt = jnp.asarray(rng.normal(0.5, 0.2, (C, T, D)).astype(np.float32))
+    tidx = jnp.arange(C * T, dtype=jnp.int32).reshape(C, T)
+    src = jnp.asarray(rng.normal(0.5, 0.2, (S, D)).astype(np.float32))
+    smass = jnp.asarray(rng.uniform(0.5, 1.0, S).astype(np.float32))
+    sidx = jnp.full((S,), -1, jnp.int32)
+    src = src.at[:T].set(tgt[0])
+    sidx = sidx.at[:T].set(jnp.arange(T))
+    mask = jnp.asarray(rng.random((C, S)) < 0.8)
+    scell = jnp.asarray(rng.integers(0, 8, (S, D)), jnp.int32)
+    tcell = jnp.asarray(rng.integers(0, 8, (C, T, D)), jnp.int32)
+
+    def run(mxu, prec="high", grid=False):
+        os.environ["RAKAU_PALLAS_MXU"] = "1" if mxu else "0"
+        os.environ["RAKAU_MXU_PREC"] = prec
+        kw = dict(src_cell=scell, tgt_cell=tcell, grid_sep=3) if grid \
+            else {}
+        f = jax.jit(lambda *a: pk.eval_shared_fused(*a, block=2048, **kw))
+        return jax.block_until_ready(
+            f(tgt, tidx, src, smass, sidx, mask,
+              jnp.float32(0.01), jnp.float32(1.0)))
+
+    for grid in (False, True):
+        a0, p0 = run(False, grid=grid)
+        sc = float(jnp.abs(a0).max())
+        for prec in ("highest", "high", "default"):
+            a1, p1 = run(True, prec, grid=grid)
+            da = float(jnp.abs(a1 - a0).max()) / sc
+            dp = float(jnp.abs(p1 - p0).max()) / float(jnp.abs(p0).max())
+            log(f"mxu correctness grid={grid} prec={prec}: "
+                f"acc dev {da:.2e} pot dev {dp:.2e}")
+
+    # roofs via the same harness the bench MFU uses
+    for ff in ("m2p", "grid2"):
+        cfg = TreeConfig(farfield=ff) if ff == "grid2" else TreeConfig()
+        os.environ["RAKAU_PALLAS_MXU"] = "0"
+        r0 = metrics.measure_kernel_roof(cfg)
+        log(f"roof {ff} vpu: {r0/1e9:.1f} Gpairs/s")
+        os.environ["RAKAU_PALLAS_MXU"] = "1"
+        for prec in ("default", "high", "highest"):
+            os.environ["RAKAU_MXU_PREC"] = prec
+            try:
+                r1 = metrics.measure_kernel_roof(cfg)
+                log(f"roof {ff} mxu/{prec}: {r1/1e9:.1f} Gpairs/s "
+                    f"({r1/r0:.2f}x)")
+            except Exception as e:
+                log(f"roof {ff} mxu/{prec} FAILED: {e!r}")
+    os.environ["RAKAU_PALLAS_MXU"] = "0"
+
+
+def run_rooft():
+    from rakau_tpu import metrics
+    from rakau_tpu.config import TreeConfig
+    for ff_kw in (dict(), dict(farfield="grid2")):
+        for ncrit, chunk in ((512, 32), (256, 64), (128, 128)):
+            cfg = TreeConfig(ncrit=ncrit, tile_chunk=chunk, **ff_kw)
+            for mxu in ("0", "1"):
+                os.environ["RAKAU_PALLAS_MXU"] = mxu
+                try:
+                    r = metrics.measure_kernel_roof(cfg)
+                    log(f"roof {ff_kw or 'mono'} T={ncrit} mxu={mxu}: "
+                        f"{r/1e9:.1f} Gpairs/s")
+                except Exception as e:
+                    log(f"roof T={ncrit} mxu={mxu} FAILED: {e!r}")
+    os.environ["RAKAU_PALLAS_MXU"] = "0"
+
+
+def _spawn(child: str, timeout_s: int = None) -> int:
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("RAKAU_CHILD_TIMEOUT", 3600))
+    env = dict(os.environ)
+    env["RAKAU_R4_CHILD"] = child
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, timeout=timeout_s)
+        return r.returncode
+    except subprocess.TimeoutExpired:
+        log(f"child {child} TIMED OUT after {timeout_s}s")
+        return -9
+
+
+def main():
+    for s in os.environ.get("RAKAU_R4", "attr8m,mxu,rooft").split(","):
+        s = s.strip()
+        if not s:
+            continue
+        log(f"### section {s} ###")
+        t0 = time.time()
+        rc = _spawn(s)
+        log(f"### section {s} done rc={rc} in {time.time()-t0:.0f}s ###")
+
+
+def child_main(child: str):
+    from rakau_tpu.utils.tpu import ensure_tpu
+    ensure_tpu()
+    fn = {"attr8m": run_attr8m, "mxu": run_mxu, "rooft": run_rooft}[child]
+    try:
+        fn()
+    except Exception:
+        traceback.print_exc()
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    c = os.environ.get("RAKAU_R4_CHILD")
+    if c:
+        child_main(c)
+    else:
+        main()

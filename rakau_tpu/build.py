@@ -416,12 +416,6 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None,
             # clip tile runs at leaf-grid cell boundaries (tiles must sit
             # inside one grid cell for exact stencil-coverage drops)
             head_g = head_g | (cpl < L0)
-    if cfg.tile_clip_level:
-        # spatial tile bound (see TreeConfig.tile_clip_level): a tile
-        # never spans a level-Lc cell boundary, so its AABB is at most
-        # one level-Lc cell — wide halo tiles of concentrated
-        # distributions otherwise blow up every chunk's interaction caps
-        head_g = head_g | (cpl < cfg.tile_clip_level)
     seg_begin = jax.lax.cummax(jnp.where(head_g, pidx, 0))
     pos_in = pidx - seg_begin
     head_t = head_g | (pos_in % cfg.ncrit == 0)

@@ -97,16 +97,6 @@ class TreeConfig:
     grid_multipole_order: Optional[int] = None
     grid_sep: int = 3
     grid_occupancy: int = 32
-    # Spatial bound on target tiles: tile runs never cross a Morton cell
-    # boundary at this level, capping every tile AABB at one level-Lc
-    # cell. Without it a tile of ncrit Morton-consecutive HALO particles
-    # of a concentrated distribution (Plummer) spans a huge box, and the
-    # conservative box-MAC then legitimately opens the whole core for
-    # it — measured at 1M grid2: per-chunk p2p caps grew to ~786k rows
-    # (75% of all particles) because a handful of wide halo tiles set
-    # the padded capacity for every chunk. None = no clipping (0 also
-    # disables; farfield='grid' clips at L0 independently of this).
-    tile_clip_level: Optional[int] = None
     # Kernel accumulation: "fp32" or "compensated" (TwoSum across source
     # blocks — the TPU-native "mixed fp32/fp64 accumulation" of BASELINE
     # config #3; fp64 hardware accumulate does not exist on TPU).
@@ -203,10 +193,6 @@ class TreeConfig:
             from .grid import effective_grid_level
             L0 = effective_grid_level(self, n_particles)
             cap += min((1 << L0) ** self.ndim, n_particles)
-        if self.tile_clip_level:
-            # up to one extra tile per occupied level-Lc cell
-            cap += min((1 << self.tile_clip_level) ** self.ndim,
-                       n_particles)
         return cap
 
     def with_(self, **kw) -> "TreeConfig":

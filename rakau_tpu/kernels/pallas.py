@@ -392,6 +392,148 @@ def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
     return G * acc, G * pot
 
 
+def _shared_fused_kernel_mxu(ids_ref, cnt_ref, eps2_ref, *refs, ndim,
+                             block, subblock=0, mode="both", grid_sep=0,
+                             cell_bits=0, y_prec="high"):
+    """MXU variant of _shared_fused_kernel (mono, non-compensated).
+
+    Two reformulations move the pairwise FLOPs from the VPU to the MXU
+    (VERDICT r3 item 6 — the VPU roof of ~131 Gpairs/s caps the fused
+    kernel; the MXU is the only 10x-class unit on the chip):
+
+      r^2 by the norm trick in TILE-LOCAL coordinates:
+          r^2 = |t'|^2 + |s'|^2 - 2 t'.s',   t' = t - c,  s' = s - c
+      with c the tile's first target, and the cross term one [T,D]x[D,B]
+      matmul (K=D, negligible MXU time). Local coordinates bound the
+      cancellation: the absolute error is ~2^-24 (|t'|^2+|s'|^2), so the
+      relative r^2 error is ~2^-24 ((|t'|+r)^2+|t'|^2)/r^2 — order eps
+      for pairs at tile scale and beyond, growing to ~1e-4 only for
+      pairs at r ~ tile_radius/2^10 (far below the mean interparticle
+      distance). This is the FAST kernel for the standard per-theta
+      envelope; accuracy-ladder configs keep the exact-dx VPU kernel.
+
+      acceleration accumulation as ONE [T,B]x[B,D] matmul per block:
+          acc_i = sum_j w3_ij (s'_j - t'_i) = (W3 X)_i - (sum_j W3_ij) t'_i
+      so the per-pair VPU work drops from ~19 ops (dx, r^2, w3*dx sums)
+      to ~13 (r^2 assembly, rsqrt, weights, two row-sums); the D
+      reduction columns ride the MXU (padded to 128 lanes — the padding
+      is the price, ~256 flop-equivalents/pair/pass).
+
+    Self/coincident pairs: excluded by a relative threshold
+    r^2_true <= 2^-21 (|t'|^2+|s'|^2) instead of index comparison (the
+    norm-trick noise floor swallows exact zeros; the threshold also
+    keeps rsqrt off negative rounding noise). The idx planes still ride
+    along (same call signature) but are not read.
+
+    y_prec: MXU precision of the W3 matmul — "default" (1-pass bf16,
+    ~0.4% per-pair noise, ~1.6e-4 RMS after random accumulation),
+    "high" (3-pass, ~fp32) or "highest" (6-pass)."""
+    import jax.lax as lax
+    c = pl.program_id(0)
+    n_cell = 1 if grid_sep else 0
+    tgt_refs = refs[:ndim]
+    tc_refs = refs[ndim + 1:ndim + 1 + n_cell]
+    base = ndim + 1 + n_cell
+    src_refs = refs[base:base + ndim + 2]
+    base2 = base + ndim + 2
+    sc_refs = refs[base2:base2 + n_cell]
+    mask_ref = refs[base2 + n_cell]
+    out_refs = refs[base2 + n_cell + 1:]
+    eps2 = eps2_ref[0]
+    prec = {"default": lax.Precision.DEFAULT,
+            "high": lax.Precision.HIGH,
+            "highest": lax.Precision.HIGHEST}[y_prec]
+
+    def unpack_cells(p):
+        Gc = float(1 << cell_bits)
+        invG = 1.0 / Gc
+        q = jnp.maximum(p, 0.0)
+        coords = []
+        for _ in range(ndim - 1):
+            qn = jnp.floor(q * invG)
+            coords.append(q - qn * Gc)
+            q = qn
+        coords.append(q)
+        return coords[::-1]
+
+    T = tgt_refs[0].shape[1]
+    tcols = [r[0] for r in tgt_refs]                    # (T, 1)
+    cref = [tc[0:1] for tc in tcols]                    # (1, 1)
+    tp = [tc - cr for tc, cr in zip(tcols, cref)]       # (T, 1)
+    tmat = jnp.concatenate(tp, axis=1)                  # (T, D)
+    tts = None
+    for t_ in tp:
+        tts = t_ * t_ if tts is None else tts + t_ * t_  # (T, 1)
+    tccols = unpack_cells(tc_refs[0][0]) if grid_sep else []
+
+    def body(k, carry):
+        y, ysum, pot = carry
+        if subblock:
+            nsub = block // subblock
+
+            def asm(ref):
+                parts = []
+                for j in range(nsub):
+                    off = pl.multiple_of(
+                        ids_ref[c, k * nsub + j] * subblock, subblock)
+                    parts.append(ref[0, :, pl.ds(off, subblock)])
+                return jnp.concatenate(parts, axis=-1)
+
+            srows = [asm(src_refs[d]) for d in range(ndim)]
+            m = asm(src_refs[ndim])
+            mk = asm(mask_ref)
+            scp = asm(sc_refs[0]) if grid_sep else None
+        else:
+            off = pl.multiple_of(ids_ref[c, k] * block, block)
+            srows = [src_refs[d][0, :, pl.ds(off, block)]
+                     for d in range(ndim)]              # (1, B)
+            m = src_refs[ndim][0, :, pl.ds(off, block)]
+            mk = mask_ref[0, :, pl.ds(off, block)]
+            scp = (sc_refs[0][0, :, pl.ds(off, block)] if grid_sep
+                   else None)
+        sp = [srows[d] - cref[d] for d in range(ndim)]  # (1, B)
+        ss = None
+        for s_ in sp:
+            ss = s_ * s_ if ss is None else ss + s_ * s_
+        smat = jnp.concatenate(sp, axis=0)              # (D, B)
+        dot = lax.dot_general(
+            tmat, smat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)            # (T, B)
+        r2n = (tts - 2.0 * dot) + ss                    # true r^2 + noise
+        scale = tts + ss
+        dead = r2n <= 2.0 ** -21 * scale
+        if grid_sep:
+            scrows = unpack_cells(scp)
+            covered = scp >= 0.0
+            for d in range(ndim):
+                covered = covered & (jnp.abs(scrows[d] - tccols[d])
+                                     < grid_sep)
+            dead = dead | (~covered & (scp >= 0.0))
+        inv_r = jax.lax.rsqrt(r2n + eps2)
+        inv_r = jnp.where(dead, 0.0, inv_r)
+        w = (m * mk) * inv_r                            # (T, B)
+        if mode in ("both", "acc"):
+            w3 = w * (inv_r * inv_r)
+            xmat = smat.T                               # (B, D) relayout
+            y = y + lax.dot_general(
+                w3, xmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            ysum = ysum + jnp.sum(w3, axis=1, keepdims=True)
+        if mode in ("both", "pot"):
+            pot = pot - jnp.sum(w, axis=1, keepdims=True)
+        return y, ysum, pot
+
+    y0 = jnp.zeros((T, ndim), jnp.float32)
+    ysum0 = jnp.zeros((T, 1), jnp.float32)
+    pot0 = jnp.zeros((T, 1), jnp.float32)
+    y, ysum, pot = jax.lax.fori_loop(0, cnt_ref[c], body,
+                                     (y0, ysum0, pot0))
+    for d in range(ndim):
+        out_refs[d][0] = y[:, d:d + 1] - ysum * tp[d]
+    out_refs[ndim][0] = pot
+
+
 def _two_sum(a, b):
     """Knuth TwoSum: s + e == a + b exactly (compensated accumulation)."""
     s = a + b
@@ -769,10 +911,21 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
                   + [mspec()]),
         out_specs=[tspec() for _ in range(D + 1)],
     )
-    kernel = functools.partial(_shared_fused_kernel, ndim=D, block=block,
-                               compensated=compensated, subblock=subblock,
-                               mode=mode, grid_sep=grid_sep,
-                               cell_bits=cell_bits, quad=qdim)
+    import os as _os
+    use_mxu = (_os.environ.get("RAKAU_PALLAS_MXU", "0") == "1"
+               and qdim == 0 and not compensated)
+    if use_mxu:
+        kernel = functools.partial(
+            _shared_fused_kernel_mxu, ndim=D, block=block,
+            subblock=subblock, mode=mode, grid_sep=grid_sep,
+            cell_bits=cell_bits,
+            y_prec=_os.environ.get("RAKAU_MXU_PREC", "high"))
+    else:
+        kernel = functools.partial(
+            _shared_fused_kernel, ndim=D, block=block,
+            compensated=compensated, subblock=subblock,
+            mode=mode, grid_sep=grid_sep,
+            cell_bits=cell_bits, quad=qdim)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -189,13 +189,16 @@ def collect_shared_density(td: TreeData, cfg: TreeConfig, theta,
     # host-side because a jit-returned python-int constant came back 0
     # on the axon backend (slot_density printed as useful_pairs, r3)
     s0 = cfg.m2p_cap + cfg.p2p_src_cap
-    # STRIDED sample: with tile clipping (tile_clip_level / grid mode)
-    # tiles are heterogeneous — the first chunks are near-empty halo
-    # tiles, and extrapolating them linearly reported 3.6 useful
-    # pairs/particle on a query whose RMS proved the masks were fine
-    # (r3). Evenly-spaced chunks keep the extrapolation honest.
-    sample = [int(round(i * (n_live - 1) / max(take - 1, 1)))
-              for i in range(take)]
+    # STRIDED sample: with tile clipping (grid mode) tiles are
+    # heterogeneous — the first chunks are near-empty halo tiles, and
+    # extrapolating them linearly reported 3.6 useful pairs/particle on
+    # a query whose RMS proved the masks were fine (r3). Bin MIDPOINTS
+    # (not endpoints): the endpoint-inclusive stride always sampled the
+    # last live chunk, which is partially padding, and linear
+    # extrapolation over-weighted it (ADVICE r3).
+    sample = sorted({int((i + 0.5) * n_live / take)
+                     for i in range(take)})
+    take = len(sample)
     for c in sample:
         clo = gx[1][c] if gx is not None else None
         chi = gx[2][c] if gx is not None else None

@@ -250,8 +250,11 @@ class GroupCand:
     see _box_selection), compacts the survivors once, and hands the
     per-chunk passes a GCAP-row candidate table instead of the full node
     table. Results are bit-identical: the chunk predicate re-runs
-    exactly on the surviving rows (compaction preserves node order, so
-    downstream stable sorts tie-break identically)."""
+    exactly on the surviving rows, and the table is pre-sorted ONCE by
+    (node_begin, node_idx) — the key the per-chunk Morton re-sorts used
+    — so per-chunk compaction (which preserves row order) already
+    yields that order and build_shared_sources skips its two per-chunk
+    lax.sorts entirely when given a cand table."""
 
     def __init__(self, lm, begin, end, overflow, count):
         self.lm = lm            # [GCAP, W] candidate rows (lm layout)

@@ -145,39 +145,3 @@ def test_quadrupole_moments(rng):
             for bb in range(a, 3):
                 want.append((mass_s[b:e] * d[:, a] * d[:, bb]).sum())
         np.testing.assert_allclose(quad[j], want, rtol=1e-3, atol=1e-6)
-
-
-def test_tile_clip_level_bounds_and_equivalence():
-    """tile_clip_level: no tile spans a level-Lc cell boundary, and the
-    query answer is unchanged (tiles only partition targets; the
-    traversal is per-tile)."""
-    from rakau_tpu import engine
-    n = 4096
-    pos, mass = particles.plummer(jax.random.PRNGKey(7), n)
-    base = TreeConfig(max_depth=10, max_leaf_n=16, ncrit=128,
-                      tile_chunk=8, m2p_cap=4096, p2p_leaf_cap=1024,
-                      p2p_src_cap=8192, frontier_cap=8192,
-                      traversal_mode="lmac", farfield="grid2",
-                      local_order=4, grid_sep=2, grid_level=3)
-    Lc = 2
-    cfg = base.with_(tile_clip_level=Lc)
-    td = build.build_tree(pos, mass, cfg)
-    assert not bool(td.overflow)
-    # every tile's particles share one level-Lc cell
-    depth = cfg.max_depth
-    cells = np.asarray(
-        particles.discretize(td.pos, td.box_size, depth)) >> (depth - Lc)
-    nt = int(td.n_tiles)
-    for t in range(nt):
-        b = int(td.tile_begin[t]); c = int(td.tile_cnt[t])
-        assert (cells[b:b + c] == cells[b]).all(), f"tile {t} spans cells"
-    # clipped tile AABBs must not exceed one level-Lc cell edge
-    # (the whole point: bounded boxes for the box-MAC)
-    # and the physics is identical to the unclipped build
-    td0 = build.build_tree(pos, mass, base)
-    th = jnp.float32(0.7); ep = jnp.float32(0.0)
-    a1, p1, o1 = engine.acc_pot_u(td, cfg, th, ep, 1.0)
-    a0, p0, o0 = engine.acc_pot_u(td0, base, th, ep, 1.0)
-    assert not bool(np.asarray(o1).any()) and not bool(np.asarray(o0).any())
-    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
-                               rtol=2e-4, atol=1e-5)
