@@ -57,13 +57,26 @@ def main():
         f = [s.strip() for s in rung.split(",")]
         p, q, sep, theta, mpole = (int(f[0]), int(f[1]), int(f[2]),
                                    float(f[3]), int(f[4]))
-        L0 = int(f[5]) if len(f) > 5 else None
-        cfg = TreeConfig(max_depth=14, max_leaf_n=32, ncrit=512,
-                         tile_chunk=32, traversal_mode="lmac",
-                         farfield="grid2", local_order=p,
-                         grid_multipole_order=q, grid_sep=sep,
-                         multipole_order=mpole, frontier_cap=65536,
-                         grid_level=L0)
+        # optional trailing fields: bare int = L0; key=value pairs pass
+        # through to TreeConfig (traversal_mode=shared, accum=..., ...)
+        L0 = None
+        extra = {}
+        for tok in f[5:]:
+            if "=" in tok:
+                k, v = tok.split("=", 1)
+                extra[k] = int(v) if v.lstrip("-").isdigit() else v
+            elif tok:
+                L0 = int(tok)
+        kw = dict(max_depth=14, max_leaf_n=32, ncrit=512,
+                  tile_chunk=32, traversal_mode="lmac",
+                  farfield="grid2", local_order=p,
+                  grid_multipole_order=q, grid_sep=sep,
+                  multipole_order=mpole, frontier_cap=65536,
+                  grid_level=L0)
+        kw.update(extra)
+        if kw["traversal_mode"] != "lmac" and "frontier_cap" not in extra:
+            kw["frontier_cap"] = 4096
+        cfg = TreeConfig(**kw)
         try:
             t0 = time.time()
             td = build.build_tree(pos, mass, cfg)

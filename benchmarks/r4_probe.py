@@ -137,11 +137,14 @@ def run_mxu():
 
     for grid in (False, True):
         a0, p0 = run(False, grid=grid)
-        sc = float(jnp.abs(a0).max())
+        a0 = np.asarray(a0)
+        p0 = np.asarray(p0)
+        sc = float(np.abs(a0).max())
         for prec in ("highest", "high", "default"):
             a1, p1 = run(True, prec, grid=grid)
-            da = float(jnp.abs(a1 - a0).max()) / sc
-            dp = float(jnp.abs(p1 - p0).max()) / float(jnp.abs(p0).max())
+            da = float(np.abs(np.asarray(a1) - a0).max()) / sc
+            dp = (float(np.abs(np.asarray(p1) - p0).max())
+                  / float(np.abs(p0).max()))
             log(f"mxu correctness grid={grid} prec={prec}: "
                 f"acc dev {da:.2e} pot dev {dp:.2e}")
 
@@ -199,15 +202,39 @@ def main():
         s = s.strip()
         if not s:
             continue
-        log(f"### section {s} ###")
-        t0 = time.time()
-        rc = _spawn(s)
-        log(f"### section {s} done rc={rc} in {time.time()-t0:.0f}s ###")
+        for attempt in range(3):
+            log(f"### section {s} (attempt {attempt}) ###")
+            t0 = time.time()
+            rc = _spawn(s)
+            log(f"### section {s} done rc={rc} "
+                f"in {time.time()-t0:.0f}s ###")
+            if rc != 3:
+                break
+            # first-dispatch watchdog tripped: a stale device claim
+            # blocks execution RPCs and only expires server-side
+            # (~15 min observed). Sleep it out, then retry.
+            log("claim watchdog tripped; sleeping 900 s for the stale "
+                "claim TTL")
+            time.sleep(900)
 
 
 def child_main(child: str):
+    import signal
+
     from rakau_tpu.utils.tpu import ensure_tpu
     ensure_tpu()
+
+    def _trip(signum, frame):
+        log("FIRST-DISPATCH WATCHDOG: device did not answer in 180 s "
+            "(stale claim?); exiting 3")
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _trip)
+    signal.alarm(180)
+    import jax
+    import jax.numpy as jnp
+    jax.block_until_ready(jax.jit(lambda x: x + 1)(jnp.ones(8)))
+    signal.alarm(0)
     fn = {"attr8m": run_attr8m, "mxu": run_mxu, "rooft": run_rooft}[child]
     try:
         fn()
