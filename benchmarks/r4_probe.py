@@ -140,7 +140,7 @@ def run_mxu():
         a0 = np.asarray(a0)
         p0 = np.asarray(p0)
         sc = float(np.abs(a0).max())
-        for prec in ("highest", "high", "default"):
+        for prec in ("highest", "x3", "bf16"):
             a1, p1 = run(True, prec, grid=grid)
             da = float(np.abs(np.asarray(a1) - a0).max()) / sc
             dp = (float(np.abs(np.asarray(p1) - p0).max())
@@ -155,7 +155,7 @@ def run_mxu():
         r0 = metrics.measure_kernel_roof(cfg)
         log(f"roof {ff} vpu: {r0/1e9:.1f} Gpairs/s")
         os.environ["RAKAU_PALLAS_MXU"] = "1"
-        for prec in ("default", "high", "highest"):
+        for prec in ("bf16", "x3", "highest"):
             os.environ["RAKAU_MXU_PREC"] = prec
             try:
                 r1 = metrics.measure_kernel_roof(cfg)

@@ -394,7 +394,7 @@ def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
 
 def _shared_fused_kernel_mxu(ids_ref, cnt_ref, eps2_ref, *refs, ndim,
                              block, subblock=0, mode="both", grid_sep=0,
-                             cell_bits=0, y_prec="high"):
+                             cell_bits=0, y_prec="x3"):
     """MXU variant of _shared_fused_kernel (mono, non-compensated).
 
     Two reformulations move the pairwise FLOPs from the VPU to the MXU
@@ -425,9 +425,11 @@ def _shared_fused_kernel_mxu(ids_ref, cnt_ref, eps2_ref, *refs, ndim,
     keeps rsqrt off negative rounding noise). The idx planes still ride
     along (same call signature) but are not read.
 
-    y_prec: MXU precision of the W3 matmul — "default" (1-pass bf16,
-    ~0.4% per-pair noise, ~1.6e-4 RMS after random accumulation),
-    "high" (3-pass, ~fp32) or "highest" (6-pass)."""
+    y_prec: MXU precision of the W3 matmul — "bf16" (operands cast to
+    bf16, one MXU pass, ~0.4% per-pair noise -> ~1e-4-class RMS after
+    random accumulation), "x3" (manual 3-pass bf16 splitting, ~fp32
+    quality; Mosaic has no Precision.HIGH), "default" (whatever Mosaic
+    does for f32 inputs) or "highest" (6-pass)."""
     import jax.lax as lax
     c = pl.program_id(0)
     n_cell = 1 if grid_sep else 0
@@ -440,9 +442,30 @@ def _shared_fused_kernel_mxu(ids_ref, cnt_ref, eps2_ref, *refs, ndim,
     mask_ref = refs[base2 + n_cell]
     out_refs = refs[base2 + n_cell + 1:]
     eps2 = eps2_ref[0]
-    prec = {"default": lax.Precision.DEFAULT,
-            "high": lax.Precision.HIGH,
-            "highest": lax.Precision.HIGHEST}[y_prec]
+    dims = (((1,), (0,)), ((), ()))
+
+    def ydot(A, B):
+        """(T, B) x (B, D) at the requested effective precision."""
+        if y_prec == "bf16":
+            return lax.dot_general(
+                A.astype(jnp.bfloat16), B.astype(jnp.bfloat16), dims,
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.DEFAULT)
+        if y_prec == "x3":
+            Ah = A.astype(jnp.bfloat16)
+            Bh = B.astype(jnp.bfloat16)
+            Al = (A - Ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            Bl = (B - Bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            kw = dict(preferred_element_type=jnp.float32,
+                      precision=lax.Precision.DEFAULT)
+            return (lax.dot_general(Ah, Bl, dims, **kw)
+                    + lax.dot_general(Al, Bh, dims, **kw)
+                    + lax.dot_general(Ah, Bh, dims, **kw))
+        prec = {"default": lax.Precision.DEFAULT,
+                "highest": lax.Precision.HIGHEST}[y_prec]
+        return lax.dot_general(A, B, dims,
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
 
     def unpack_cells(p):
         Gc = float(1 << cell_bits)
@@ -516,9 +539,7 @@ def _shared_fused_kernel_mxu(ids_ref, cnt_ref, eps2_ref, *refs, ndim,
         if mode in ("both", "acc"):
             w3 = w * (inv_r * inv_r)
             xmat = smat.T                               # (B, D) relayout
-            y = y + lax.dot_general(
-                w3, xmat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
+            y = y + ydot(w3, xmat)
             ysum = ysum + jnp.sum(w3, axis=1, keepdims=True)
         if mode in ("both", "pot"):
             pot = pot - jnp.sum(w, axis=1, keepdims=True)
@@ -919,7 +940,7 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
             _shared_fused_kernel_mxu, ndim=D, block=block,
             subblock=subblock, mode=mode, grid_sep=grid_sep,
             cell_bits=cell_bits,
-            y_prec=_os.environ.get("RAKAU_MXU_PREC", "high"))
+            y_prec=_os.environ.get("RAKAU_MXU_PREC", "x3"))
     else:
         kernel = functools.partial(
             _shared_fused_kernel, ndim=D, block=block,
