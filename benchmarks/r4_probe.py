@@ -104,6 +104,68 @@ def run_attr8m():
         build.build_tree, static_argnames=("cfg",))(pos, mass, cfg))
 
 
+def run_attrparts():
+    """Walk-alone and kernel-alone device times at 8M with bench-fitted
+    caps — the slice trace nests ops inside the lax.map while, so the
+    clean split needs separate executables."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from trace_attr import trace_call
+    from rakau_tpu import build, engine, particles, traversal2
+    from rakau_tpu.kernels import dispatch
+
+    n = int(os.environ.get("RAKAU_BENCH_N", 8_388_608))
+    cfg = _bench_cfg_8m()
+    # caps measured by attr8m's fit flow (2026-08-21): rerunning the
+    # growth loop would waste 10 min of chip
+    cfg = cfg.with_(m2p_cap=9728, p2p_leaf_cap=5888, p2p_src_cap=47104,
+                    frontier_cap=int(os.environ.get("RAKAU_FCAP", 1024)))
+    pos, mass = particles.plummer(jax.random.PRNGKey(0), n)
+    td = jax.block_until_ready(
+        jax.jit(build.build_tree, static_argnames=("cfg",))(pos, mass,
+                                                            cfg))
+    th = jnp.asarray(0.75, jnp.float32)
+    ep = jnp.asarray(0.0, jnp.float32)
+    g = jnp.asarray(1.0, jnp.float32)
+    tiles, tables = engine._tiles_jit(td, cfg)
+    tiles_pos, tiles_idx, box_lo, box_hi, tiles_cell = tiles
+    npart = td.pos.shape[0]
+    ci = 6  # a mid-density chunk
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def walk(td, cfg, theta):
+        return traversal2.build_shared_sources(
+            td, cfg, theta, box_lo[ci], box_hi[ci], tables=tables,
+            tile_cell=tiles_cell[ci],
+            tile_valid=tiles_idx[ci][:, 0] < npart)
+
+    src = jax.block_until_ready(walk(td, cfg, th))
+    t0 = time.time()
+    for _ in range(5):
+        src = walk(td, cfg, th)
+    jax.block_until_ready(src.pos)
+    log(f"walk-alone wall: {(time.time()-t0)/5*1e3:.2f} ms/chunk")
+    trace_call("walk8m", lambda: walk(td, cfg, th))
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def kern(cfg, tpos, tidx, spos, smass, sidx, smask):
+        return dispatch.eval_shared(cfg, tpos, tidx, spos, smass, sidx,
+                                    smask, ep, g)
+
+    args = (cfg, tiles_pos[ci], tiles_idx[ci], src.pos, src.mass,
+            src.idx, src.mask)
+    jax.block_until_ready(kern(*args))
+    t0 = time.time()
+    for _ in range(5):
+        out = kern(*args)
+    jax.block_until_ready(out)
+    log(f"kernel-alone wall: {(time.time()-t0)/5*1e3:.2f} ms/chunk")
+    trace_call("kern8m", lambda: kern(*args))
+
+
 def run_mxu():
     import numpy as np
     import jax
@@ -235,7 +297,8 @@ def child_main(child: str):
     import jax.numpy as jnp
     jax.block_until_ready(jax.jit(lambda x: x + 1)(jnp.ones(8)))
     signal.alarm(0)
-    fn = {"attr8m": run_attr8m, "mxu": run_mxu, "rooft": run_rooft}[child]
+    fn = {"attr8m": run_attr8m, "attrparts": run_attrparts,
+          "mxu": run_mxu, "rooft": run_rooft}[child]
     try:
         fn()
     except Exception:
