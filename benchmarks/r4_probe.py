@@ -135,20 +135,23 @@ def run_attrparts():
 
     from functools import partial
 
+    # every operand as a jit ARG: closed-over tables/tile arrays become
+    # MLIR literals and blow the remote-compile body limit (HTTP 413)
     @partial(jax.jit, static_argnames=("cfg",))
-    def walk(td, cfg, theta):
+    def walk(td, cfg, theta, tabs, blo, bhi, tcell, tvalid):
         return traversal2.build_shared_sources(
-            td, cfg, theta, box_lo[ci], box_hi[ci], tables=tables,
-            tile_cell=tiles_cell[ci],
-            tile_valid=tiles_idx[ci][:, 0] < npart)
+            td, cfg, theta, blo, bhi, tables=tabs,
+            tile_cell=tcell, tile_valid=tvalid)
 
-    src = jax.block_until_ready(walk(td, cfg, th))
+    wargs = (td, cfg, th, tables, box_lo[ci], box_hi[ci],
+             tiles_cell[ci], tiles_idx[ci][:, 0] < npart)
+    src = jax.block_until_ready(walk(*wargs))
     t0 = time.time()
     for _ in range(5):
-        src = walk(td, cfg, th)
+        src = walk(*wargs)
     jax.block_until_ready(src.pos)
     log(f"walk-alone wall: {(time.time()-t0)/5*1e3:.2f} ms/chunk")
-    trace_call("walk8m", lambda: walk(td, cfg, th))
+    trace_call("walk8m", lambda: walk(*wargs))
 
     @partial(jax.jit, static_argnames=("cfg",))
     def kern(cfg, tpos, tidx, spos, smass, sidx, smask):
@@ -283,16 +286,17 @@ def main():
 def child_main(child: str):
     import signal
 
-    from rakau_tpu.utils.tpu import ensure_tpu
-    ensure_tpu()
-
     def _trip(signum, frame):
-        log("FIRST-DISPATCH WATCHDOG: device did not answer in 180 s "
+        log("FIRST-DISPATCH WATCHDOG: device did not answer in 240 s "
             "(stale claim?); exiting 3")
         os._exit(3)
 
+    # armed BEFORE ensure_tpu: the observed block is jax.devices()
+    # waiting forever inside the claim, not the first computation
     signal.signal(signal.SIGALRM, _trip)
-    signal.alarm(180)
+    signal.alarm(240)
+    from rakau_tpu.utils.tpu import ensure_tpu
+    ensure_tpu()
     import jax
     import jax.numpy as jnp
     jax.block_until_ready(jax.jit(lambda x: x + 1)(jnp.ones(8)))

@@ -140,7 +140,7 @@ def _split_tiles(tiles):
 def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
                 tpos, tidx, blo, bhi, tables=None, tcell=None,
                 Lgrid=None, extra=None, mode="both", tcells=None,
-                cand=None):
+                cand=None, src=None):
     """Traversal + gather + kernel for one chunk of tiles (shared by the
     single-chip and sharded paths).
 
@@ -160,12 +160,11 @@ def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
         n = td.pos.shape[0]
         tvalid = tidx[:, 0] < n
         tpcell, clo, chi = tcells
-        kw = {"cand": cand} if cand is not None else {}
-        src = traversal_mod.build_shared_sources(td, cfg, theta, blo, bhi,
-                                                 tables=tables,
-                                                 tile_valid=tvalid,
-                                                 tcell_lo=clo, tcell_hi=chi,
-                                                 **kw)
+        if src is None:
+            kw = {"cand": cand} if cand is not None else {}
+            src = traversal_mod.build_shared_sources(
+                td, cfg, theta, blo, bhi, tables=tables,
+                tile_valid=tvalid, tcell_lo=clo, tcell_hi=chi, **kw)
         src_pos, src_mass, src_idx = src.pos, src.mass, src.idx
         mask, cell = src.mask, src.cell
         if extra is not None:
@@ -192,11 +191,11 @@ def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
         traversal_mod = _traversal_mod(cfg)
         n = td.pos.shape[0]
         tvalid = tidx[:, 0] < n
-        kw = {"cand": cand} if cand is not None else {}
-        src = traversal_mod.build_shared_sources(td, cfg, theta, blo, bhi,
-                                                 tables=tables,
-                                                 tile_cell=tcell,
-                                                 tile_valid=tvalid, **kw)
+        if src is None:
+            kw = {"cand": cand} if cand is not None else {}
+            src = traversal_mod.build_shared_sources(
+                td, cfg, theta, blo, bhi, tables=tables, tile_cell=tcell,
+                tile_valid=tvalid, **kw)
         mask = src.mask
         acc_l = pot_l = None
         if cfg.farfield in ("local", "grid"):
@@ -415,7 +414,42 @@ def _slice_query_jit(td, cfg, theta, eps, G, tiles, tables, Lgrid,
             td, cfg, theta, flat_lo, flat_hi, tables,
             tile_valid=flat_valid, **kw)
 
+    # Batched walk: build every chunk's SharedSources in ONE vmapped
+    # executable instead of per-chunk op streams inside lax.map. The
+    # walk is launch-bound (~40 tiny XLA ops per round x ~12 rounds x
+    # C chunks measured ~5-7 ms/chunk of the 9.7 ms chunk total at 8M);
+    # vmapping amortizes every launch across the slice's K chunks. The
+    # kernel stays in the lax.map below (its pallas launch is one op
+    # per chunk and its VMEM working set must stay per-chunk).
+    import os as _os
+    srcs = None
+    if (_use_shared(cfg)
+            and _os.environ.get("RAKAU_WALK_VMAP", "0") == "1"):
+        n = td.pos.shape[0]
+        traversal_mod = _traversal_mod(cfg)
+        (tpos_a, tidx_a, blo_a, bhi_a, tc_a), sgx = _split_tiles(sliced)
+        tvalid_a = tidx_a[..., 0] < n
+        kw = {"cand": cand} if cand is not None else {}
+        if cfg.farfield == "grid2":
+            srcs = jax.vmap(
+                lambda blo, bhi, tv, clo, chi:
+                traversal_mod.build_shared_sources(
+                    td, cfg, theta, blo, bhi, tables=tables,
+                    tile_valid=tv, tcell_lo=clo, tcell_hi=chi, **kw)
+            )(blo_a, bhi_a, tvalid_a, sgx[1], sgx[2])
+        else:
+            srcs = jax.vmap(
+                lambda blo, bhi, tv, tcell:
+                traversal_mod.build_shared_sources(
+                    td, cfg, theta, blo, bhi, tables=tables,
+                    tile_cell=tcell, tile_valid=tv, **kw)
+            )(blo_a, bhi_a, tvalid_a, tc_a)
+
     def chunk_fn(args):
+        if srcs is not None:
+            args, src = args
+        else:
+            src = None
         if gx is not None:
             tpos, tidx, blo, bhi, tcell, tpc, clo, chi = args
             tcells = (tpc, clo, chi)
@@ -425,9 +459,10 @@ def _slice_query_jit(td, cfg, theta, eps, G, tiles, tables, Lgrid,
         return _eval_chunk(td, cfg, theta, eps, G, dtype, tpos, tidx,
                            blo, bhi, tables=tables, tcell=tcell,
                            Lgrid=Lgrid, mode=mode, tcells=tcells,
-                           cand=cand)
+                           cand=cand, src=src)
 
-    acc, pot, ovf, mx = jax.lax.map(chunk_fn, sliced)
+    xs = (sliced, srcs) if srcs is not None else sliced
+    acc, pot, ovf, mx = jax.lax.map(chunk_fn, xs)
     ovf = jnp.any(ovf, axis=0)
     mx = jnp.max(mx, axis=0)
     if cand is not None:
