@@ -169,6 +169,42 @@ def run_attrparts():
     trace_call("kern8m", lambda: kern(*args))
 
 
+def run_vmapab():
+    """A/B the vmapped slice walk (RAKAU_WALK_VMAP) on the full 8M
+    shared+grid query: same tree, same caps, warm wall times."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rakau_tpu import build, engine, particles
+
+    n = int(os.environ.get("RAKAU_BENCH_N", 8_388_608))
+    cfg = _bench_cfg_8m()
+    cfg = cfg.with_(m2p_cap=9728, p2p_leaf_cap=5888, p2p_src_cap=47104,
+                    frontier_cap=1024,
+                    tile_chunk=int(os.environ.get("RAKAU_AB_CHUNK", 32)))
+    pos, mass = particles.plummer(jax.random.PRNGKey(0), n)
+    td = jax.block_until_ready(
+        jax.jit(build.build_tree, static_argnames=("cfg",))(pos, mass,
+                                                            cfg))
+    th = jnp.asarray(0.75, jnp.float32)
+    ep = jnp.asarray(0.0, jnp.float32)
+    g = jnp.asarray(1.0, jnp.float32)
+    for flag in ("0", "1", "0", "1"):
+        os.environ["RAKAU_WALK_VMAP"] = flag
+        engine._slice_query_jit.clear_cache()
+        t0 = time.time()
+        acc, pot, ovf, mx = engine.acc_pot_u_host(td, cfg, th, ep, g)
+        jax.block_until_ready(acc)
+        cold = time.time() - t0
+        t0 = time.time()
+        acc, pot, ovf, mx = engine.acc_pot_u_host(td, cfg, th, ep, g)
+        jax.block_until_ready(acc)
+        warm = time.time() - t0
+        log(f"vmap={flag}: warm {warm:.2f}s cold {cold:.1f}s "
+            f"ovf={list(np.asarray(ovf))} evals/s={n/warm:.3g}")
+    os.environ.pop("RAKAU_WALK_VMAP", None)
+
+
 def run_mxu():
     import numpy as np
     import jax
@@ -302,7 +338,8 @@ def child_main(child: str):
     jax.block_until_ready(jax.jit(lambda x: x + 1)(jnp.ones(8)))
     signal.alarm(0)
     fn = {"attr8m": run_attr8m, "attrparts": run_attrparts,
-          "mxu": run_mxu, "rooft": run_rooft}[child]
+          "vmapab": run_vmapab, "mxu": run_mxu,
+          "rooft": run_rooft}[child]
     try:
         fn()
     except Exception:
