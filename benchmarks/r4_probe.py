@@ -143,22 +143,38 @@ def run_attrparts():
             td, cfg, theta, blo, bhi, tables=tabs,
             tile_cell=tcell, tile_valid=tvalid)
 
-    wargs = (td, cfg, th, tables, box_lo[ci], box_hi[ci],
-             tiles_cell[ci], tiles_idx[ci][:, 0] < npart)
-    src = jax.block_until_ready(walk(*wargs))
-    t0 = time.time()
-    for _ in range(5):
-        src = walk(*wargs)
-    jax.block_until_ready(src.pos)
-    log(f"walk-alone wall: {(time.time()-t0)/5*1e3:.2f} ms/chunk")
-    trace_call("walk8m", lambda: walk(*wargs))
+    cis = [int(x) for x in os.environ.get("RAKAU_CI", str(ci)).split(",")]
+    ablates = [a for a in os.environ.get(
+        "RAKAU_ABLATES", "").split(";")] if os.environ.get(
+        "RAKAU_ABLATES") is not None else [""]
+    src = None
+    for ab in ablates:
+        os.environ["RAKAU_T2_ABLATE"] = ab
+        # env is read at trace time; force a fresh trace per ablation
+        walk.clear_cache()
+        for ci_ in cis:
+            wargs = (td, cfg, th, tables, box_lo[ci_], box_hi[ci_],
+                     tiles_cell[ci_], tiles_idx[ci_][:, 0] < npart)
+            s0 = jax.block_until_ready(walk(*wargs))
+            t0 = time.time()
+            for _ in range(5):
+                jax.block_until_ready(walk(*wargs).pos)
+            dt = (time.time() - t0) / 5 * 1e3
+            log(f"walk+mat ci={ci_} ablate='{ab}': {dt:.2f} ms/chunk")
+            if ab == "" and ci_ == cis[-1]:
+                src = s0
+                wargs_keep = wargs
+    os.environ["RAKAU_T2_ABLATE"] = ""
+    walk.clear_cache()
+    trace_call("walk8m", lambda: walk(*wargs_keep))
 
     @partial(jax.jit, static_argnames=("cfg",))
     def kern(cfg, tpos, tidx, spos, smass, sidx, smask):
         return dispatch.eval_shared(cfg, tpos, tidx, spos, smass, sidx,
                                     smask, ep, g)
 
-    args = (cfg, tiles_pos[ci], tiles_idx[ci], src.pos, src.mass,
+    ci_k = cis[-1]
+    args = (cfg, tiles_pos[ci_k], tiles_idx[ci_k], src.pos, src.mass,
             src.idx, src.mask)
     jax.block_until_ready(kern(*args))
     t0 = time.time()

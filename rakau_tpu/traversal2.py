@@ -144,6 +144,8 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     round-1 per-tile test). tile_valid [C] masks padding tiles out of
     the walk. grid2 additionally emits per-source leaf cells for the
     kernels' exact per-pair coverage masking."""
+    import os as _os
+    _ablate = set(_os.environ.get("RAKAU_T2_ABLATE", "").split(","))
     C, D = box_lo.shape
     dtype = td.pos.dtype
     theta_inv = 1.0 / jnp.asarray(theta, dtype)
@@ -299,14 +301,20 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     uidx_c = jnp.clip(uidx, 0, R * K - 1)
     uvalid = uidx < R * K
     un_ids0 = jnp.where(uvalid, ids_flat[uidx_c], 0)
-    ukey = jnp.where(uvalid, td.node_begin[un_ids0], n)
-    _, uidx_c, un_ids, uvalid = jax.lax.sort(
-        (ukey, uidx_c, un_ids0, uvalid), num_keys=1)
+    if "sorts" not in _ablate:
+        ukey = jnp.where(uvalid, td.node_begin[un_ids0], n)
+        _, uidx_c, un_ids, uvalid = jax.lax.sort(
+            (ukey, uidx_c, un_ids0, uvalid), num_keys=1)
+    else:
+        un_ids = un_ids0
     m_row = tables.nm[un_ids]                            # one row gather
     m_pos = jnp.where(uvalid[:, None], m_row[:, :D], sentinel)
     m_mass = jnp.where(uvalid, m_row[:, 3], 0.0)
     m_idx = jnp.full(ucap, -1, I32)
-    m_mask = m2p_flat[uidx_c] & uvalid[:, None]          # [ucap, C]
+    if "masks" not in _ablate:
+        m_mask = m2p_flat[uidx_c] & uvalid[:, None]      # [ucap, C]
+    else:
+        m_mask = jnp.broadcast_to(uvalid[:, None], (ucap, C))
     ovf_uni = ucnt > ucap
     m_cell = None
     if emit_cells:
@@ -333,9 +341,12 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     # spatial re-sort (see M2P above): the expanded particle rows then
     # form one globally Morton-ordered stream (particles within a leaf
     # are already Morton-contiguous)
-    lkey = jnp.where(lvalid, td.node_begin[lf_ids0], n)
-    _, lidx_c, lf_ids, lvalid = jax.lax.sort(
-        (lkey, lidx_c, lf_ids0, lvalid), num_keys=1)
+    if "sorts" not in _ablate:
+        lkey = jnp.where(lvalid, td.node_begin[lf_ids0], n)
+        _, lidx_c, lf_ids, lvalid = jax.lax.sort(
+            (lkey, lidx_c, lf_ids0, lvalid), num_keys=1)
+    else:
+        lf_ids = lf_ids0
     ovf_leaf = lcnt > lcap
     lb = jnp.where(lvalid, td.node_begin[lf_ids], 0)
     lc = jnp.where(lvalid, td.node_end[lf_ids] - td.node_begin[lf_ids], 0)
@@ -345,10 +356,13 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     # row-of-particle via start marks + cumsum (a pcap-sized searchsorted
     # here costs ~7 ms/chunk; the scatter is lcap-sized and trivial)
     kq = jnp.arange(pcap, dtype=I32)
-    marks = jnp.zeros(pcap + 1, I32).at[
-        jnp.where(lc > 0, jnp.minimum(offs, pcap), pcap)].add(1)
-    row = jnp.cumsum(marks[:pcap]) - 1
-    row = jnp.maximum(row, 0)
+    if "rowmap" not in _ablate:
+        marks = jnp.zeros(pcap + 1, I32).at[
+            jnp.where(lc > 0, jnp.minimum(offs, pcap), pcap)].add(1)
+        row = jnp.cumsum(marks[:pcap]) - 1
+        row = jnp.maximum(row, 0)
+    else:
+        row = kq % lcap
     rvalid = kq < jnp.minimum(total_p, pcap)
     row_c = jnp.clip(row, 0, lcap - 1)
     pidx = jnp.where(rvalid, lb[row_c] + (kq - offs[row_c]), -1)
@@ -356,11 +370,14 @@ def build_shared_sources(td: TreeData, cfg: TreeConfig, theta,
     p_row = tables.pm[pidx_c]                            # one row gather
     p_pos = jnp.where(rvalid[:, None], p_row[:, :D], sentinel)
     p_mass = jnp.where(rvalid, p_row[:, 3], 0.0)
-    leaf_mask = p2p_flat[lidx_c] & lvalid[:, None]       # [lcap, C]
-    p_mask = (leaf_mask[row_c] & rvalid[:, None]
-              & (p_mass > 0)[:, None])                   # [pcap, C]
+    if "masks" not in _ablate:
+        leaf_mask = p2p_flat[lidx_c] & lvalid[:, None]   # [lcap, C]
+        p_mask = (leaf_mask[row_c] & rvalid[:, None]
+                  & (p_mass > 0)[:, None])               # [pcap, C]
+    else:
+        p_mask = jnp.broadcast_to(rvalid[:, None], (pcap, C))
     p_cell = None
-    if use_grid:
+    if use_grid and ("psep" not in _ablate or emit_cells):
         # Leaves ABOVE the grid level span several leaf-grid cells; their
         # particles in stencil-covered cells (L0 separation >= S from
         # every tile cell) are already in the dense far field — filter
