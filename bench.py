@@ -67,6 +67,8 @@ def main():
     )
     if os.environ.get("RAKAU_BENCH_GRIDLEVEL"):
         cfg = cfg.with_(grid_level=int(os.environ["RAKAU_BENCH_GRIDLEVEL"]))
+    if os.environ.get("RAKAU_BENCH_GAMMA"):
+        cfg = cfg.with_(local_gamma=float(os.environ["RAKAU_BENCH_GAMMA"]))
 
     build_jit = jax.jit(build.build_tree, static_argnames=("cfg",))
 

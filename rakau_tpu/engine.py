@@ -207,12 +207,23 @@ def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
             U = cfg.m2p_cap
             center = 0.5 * (blo + bhi)
             rad2 = jnp.sum((0.5 * (bhi - blo)) ** 2, axis=-1)
-            far, near = expansion.far_split(
-                center, rad2, src.pos[:U], src.mass[:U], mask[:, :U],
-                cfg.local_gamma)
-            mask = jnp.concatenate([near, mask[:, U:]], axis=1)
-            L = expansion.m2l(center, src.pos[:U], src.mass[:U], far,
-                              eps, cfg.local_order)
+            from . import expansion as _exp
+            NC = _exp.n_coeffs(td.pos.shape[1], cfg.local_order)
+            if cfg.local_gamma < 1e9:
+                far, near = expansion.far_split(
+                    center, rad2, src.pos[:U], src.mass[:U], mask[:, :U],
+                    cfg.local_gamma)
+                mask = jnp.concatenate([near, mask[:, U:]], axis=1)
+                L = expansion.m2l(center, src.pos[:U], src.mass[:U],
+                                  far, eps, cfg.local_order)
+            else:
+                # local_gamma >= 1e9 disables the per-chunk far/near
+                # gate: every walk-accepted node stays on the kernel
+                # path (the fused kernel runs at its roof, while the
+                # [C, U, NC] m2l panel measured ~5 ms/chunk at 8M —
+                # the dominant slice cost, r4 ablation). The grid
+                # far-field inherit below still applies.
+                L = jnp.zeros((center.shape[0], NC), dtype)
             if cfg.farfield == "grid" and Lgrid is not None:
                 # inherit the dense stencil far field: leaf-grid cell
                 # expansion recentred to the tile center
