@@ -65,8 +65,8 @@ def config1(scale):
     from rakau_tpu.config import TreeConfig
     n = max(4096, int((1 << 20) * scale))
     pos, mass = particles.uniform_cube(jax.random.PRNGKey(1), n)
-    cfg = TreeConfig(max_depth=12, max_leaf_n=64, ncrit=256, tile_chunk=256,
-                     p2p_leaf_cap=2048)
+    cfg = TreeConfig(max_depth=12, max_leaf_n=32, ncrit=512, tile_chunk=32,
+                     p2p_leaf_cap=4096, p2p_src_cap=32768)
     sweeps = {}
     for eps in (0.0, 1e-3, 1e-2):
         t0 = time.time()
@@ -91,8 +91,8 @@ def config2(scale, steps=None):
     pos, mass = particles.cold_sphere(jax.random.PRNGKey(2), n)
     vel = jnp.zeros_like(pos)
     state = integrate.NBodyState(pos, vel, mass)
-    cfg = TreeConfig(max_depth=12, max_leaf_n=64, ncrit=256, tile_chunk=256,
-                     p2p_leaf_cap=2048, p2p_src_cap=16384)
+    cfg = TreeConfig(max_depth=12, max_leaf_n=32, ncrit=512, tile_chunk=32,
+                     p2p_leaf_cap=4096, p2p_src_cap=49152, m2p_cap=12288)
     eps = 0.02
     box = 8.0
 
@@ -143,8 +143,8 @@ def config3(scale):
     from rakau_tpu.config import TreeConfig
     n = max(8192, int((1 << 26) * scale))
     pos, mass = particles.disk_galaxy(jax.random.PRNGKey(3), n)
-    cfg = TreeConfig(max_depth=14, max_leaf_n=64, ncrit=256, tile_chunk=256,
-                     p2p_leaf_cap=2048, p2p_src_cap=16384,
+    cfg = TreeConfig(max_depth=14, max_leaf_n=32, ncrit=512, tile_chunk=32,
+                     p2p_leaf_cap=4096, p2p_src_cap=49152, m2p_cap=12288,
                      accum="compensated")
     bj = jax.jit(build.build_tree, static_argnames=("cfg",))
     bj_ns = jax.jit(functools.partial(build.build_tree, near_sorted=True),
