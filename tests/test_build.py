@@ -7,6 +7,16 @@ from rakau_tpu import build, morton, particles
 from rakau_tpu.config import TreeConfig
 
 
+
+# Compile-bound integration tests (r4 test-fast pass: the whole
+# not-slow suite measured ~54 min on the 1-core CI box, almost all
+# XLA compile time). Full coverage runs under `make test`;
+# tests/test_fast_smoke.py keeps a per-mode end-to-end net in fast.
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 def np_tree_invariants(td, cfg, pos, mass):
     """Host-side invariant checks of a TreeData against raw inputs."""
     n = pos.shape[0]

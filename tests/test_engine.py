@@ -8,6 +8,16 @@ from rakau_tpu.config import TreeConfig
 from .helpers import rel_vec_err, rms
 
 
+
+# Compile-bound integration tests (r4 test-fast pass: the whole
+# not-slow suite measured ~54 min on the 1-core CI box, almost all
+# XLA compile time). Full coverage runs under `make test`;
+# tests/test_fast_smoke.py keeps a per-mode end-to-end net in fast.
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 def tree_acc_pot(pos, mass, cfg, theta, eps=0.0, box_size=None):
     td = build.build_tree(pos, mass, cfg, box_size=box_size)
     assert not bool(td.overflow), "tree build capacity overflow in test"

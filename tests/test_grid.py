@@ -8,6 +8,16 @@ from rakau_tpu import build, engine, expansion, grid, particles
 from rakau_tpu.config import TreeConfig
 
 
+
+# Compile-bound integration tests (r4 test-fast pass: the whole
+# not-slow suite measured ~54 min on the 1-core CI box, almost all
+# XLA compile time). Full coverage runs under `make test`;
+# tests/test_fast_smoke.py keeps a per-mode end-to-end net in fast.
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 @pytest.mark.parametrize("ndim", [2, 3])
 def test_stencil_coverage_partition(ndim):
     """Every leaf-cell pair with sep >= 3 must be covered at EXACTLY one

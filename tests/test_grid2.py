@@ -99,6 +99,7 @@ def test_shift_matrix_l2l(rng):
     np.testing.assert_allclose(v_new, v_old, rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndim", [2, 3])
 def test_parity_conv_matches_bruteforce(rng, ndim):
     """_parity_conv == explicit loop over stencil offsets with parity
@@ -160,6 +161,7 @@ def _near_bruteforce(pos, mass, cells, sep, eps, G=1.0):
     return acc, pot
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("clustered", [False, True])
 @pytest.mark.parametrize("eps", [0.0, 0.05])
 def test_far_field_bookkeeping_exact(rng, clustered, eps):
@@ -192,6 +194,7 @@ def test_far_field_bookkeeping_exact(rng, clustered, eps):
     assert np.sqrt(np.mean(prel ** 2)) < 5e-5
 
 
+@pytest.mark.slow
 def test_far_field_order_ladder(rng):
     """Higher order must monotonically (loosely) reduce the far error."""
     n = 400
@@ -217,6 +220,7 @@ def test_far_field_order_ladder(rng):
     assert errs[0] < 5e-2
 
 
+@pytest.mark.slow
 def test_grid2_2d(rng):
     """2-D bookkeeping exactness."""
     n = 300
@@ -238,6 +242,7 @@ def test_grid2_2d(rng):
 
 
 # ------------------------------------------------- end-to-end engine
+@pytest.mark.slow
 def test_engine_grid2_query_vs_oracle(rng):
     """Full Tree query with farfield='grid2' stays inside the theta
     envelope AND, at high order + small theta, approaches the oracle —
@@ -270,6 +275,7 @@ def test_engine_grid2_query_vs_oracle(rng):
     assert rms6 < 4e-4, rms6
 
 
+@pytest.mark.slow
 def test_engine_grid2_matches_local_mode(rng):
     """grid2 and plain 'local' farfield agree to expansion error at the
     same theta (same MAC resolution of the near region)."""
@@ -290,6 +296,7 @@ def test_engine_grid2_matches_local_mode(rng):
     assert np.sqrt(np.mean(rel ** 2)) < 2e-3
 
 
+@pytest.mark.slow
 def test_engine_grid2_eps_and_G(rng):
     """Softening and G thread through the grid2 far field."""
     from rakau_tpu.tree import octree

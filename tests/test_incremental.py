@@ -13,6 +13,16 @@ from rakau_tpu import build, integrate, particles
 from rakau_tpu.config import TreeConfig
 
 
+
+# Compile-bound integration tests (r4 test-fast pass: the whole
+# not-slow suite measured ~54 min on the 1-core CI box, almost all
+# XLA compile time). Full coverage runs under `make test`;
+# tests/test_fast_smoke.py keeps a per-mode end-to-end net in fast.
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(11)

@@ -20,6 +20,16 @@ CFG = TreeConfig(max_depth=8, max_leaf_n=16, ncrit=64, tile_chunk=16,
                  frontier_cap=1024)
 
 
+
+# Compile-bound integration tests (r4 test-fast pass: the whole
+# not-slow suite measured ~54 min on the 1-core CI box, almost all
+# XLA compile time). Full coverage runs under `make test`;
+# tests/test_fast_smoke.py keeps a per-mode end-to-end net in fast.
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 def single_chip(pos, mass, theta, eps):
     td = build.build_tree(pos, mass, CFG)
     acc, pot, ovf = engine.acc_pot_u(td, CFG, theta, eps)

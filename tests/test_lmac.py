@@ -21,6 +21,16 @@ BASE = TreeConfig(max_depth=12, max_leaf_n=16, ncrit=64, tile_chunk=16,
                   farfield="m2p")
 
 
+
+# Compile-bound integration tests (r4 test-fast pass: the whole
+# not-slow suite measured ~54 min on the 1-core CI box, almost all
+# XLA compile time). Full coverage runs under `make test`;
+# tests/test_fast_smoke.py keeps a per-mode end-to-end net in fast.
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 def _query(pos, mass, cfg, theta, eps=0.0):
     td = build.build_tree(pos, mass, cfg)
     acc, pot, ovf = engine.acc_pot_u(td, cfg, jnp.asarray(theta, pos.dtype),

@@ -36,6 +36,16 @@ MATRIX = [
 ]
 
 
+
+# Compile-bound integration tests (r4 test-fast pass: the whole
+# not-slow suite measured ~54 min on the 1-core CI box, almost all
+# XLA compile time). Full coverage runs under `make test`;
+# tests/test_fast_smoke.py keeps a per-mode end-to-end net in fast.
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 @pytest.mark.parametrize("ndim,dtype,mac,mode,theta,bound", MATRIX)
 def test_param_matrix(ndim, dtype, mac, mode, theta, bound):
     n = 2048

@@ -11,6 +11,16 @@ from rakau_tpu.direct import direct_acc_pot_np
 from .helpers import rel_vec_err, rms
 
 
+
+# Compile-bound integration tests (r4 test-fast pass: the whole
+# not-slow suite measured ~54 min on the 1-core CI box, almost all
+# XLA compile time). Full coverage runs under `make test`;
+# tests/test_fast_smoke.py keeps a per-mode end-to-end net in fast.
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 def run(pos, mass, mode, theta, **kw):
     cfg = TreeConfig(max_depth=10, max_leaf_n=16, ncrit=64, tile_chunk=8,
                      p2p_leaf_cap=2048, traversal_mode=mode, **kw)
