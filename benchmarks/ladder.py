@@ -72,7 +72,11 @@ def main():
                   farfield="grid2", local_order=p,
                   grid_multipole_order=q, grid_sep=sep,
                   multipole_order=mpole, frontier_cap=65536,
-                  grid_level=L0)
+                  grid_level=L0,
+                  # 1M-scale starting caps (the 65k defaults overflowed
+                  # every 1M rung past the single x4 retry, r4)
+                  m2p_cap=16384, p2p_leaf_cap=16384,
+                  p2p_src_cap=131072)
         kw.update(extra)
         if kw["traversal_mode"] != "lmac" and "frontier_cap" not in extra:
             kw["frontier_cap"] = 4096
@@ -82,9 +86,13 @@ def main():
             td = build.build_tree(pos, mass, cfg)
             out = engine.acc_pot_u_host(td, cfg, theta, 0.0, 1.0)
             acc, pot, ovf, mx = out
-            # one overflow retry with per-flag growth
-            flags = np.asarray(ovf)
-            if flags.any():
+            # per-flag growth until clean (results with ANY overflow
+            # are silently wrong — the r4 ladder burned 35 min of chip
+            # printing rms=5 garbage on one under-sized retry)
+            for _ in range(3):
+                flags = np.asarray(ovf)
+                if not flags.any():
+                    break
                 fields = ("m2p_cap", "p2p_leaf_cap", "p2p_src_cap",
                           "frontier_cap")
                 cfg = cfg.with_(**{fl: 4 * getattr(cfg, fl)
