@@ -104,7 +104,10 @@ def main():
             t0 = time.time()
             acc, pot, ovf, mx = engine.acc_pot_u_host(
                 td, cfg, theta, 0.0, 1.0)
-            acc = np.asarray(acc)
+            # acc is Morton-ordered (_u); map to user order before
+            # indexing with user-order sample ids (this mismatch made
+            # every 1M rung print rms~5 in the first r4 ladder run)
+            acc = np.asarray(acc)[np.asarray(td.inv_perm)]
             warm = time.time() - t0
             rel = (np.linalg.norm(acc[samp] - acc_o, axis=1)
                    / np.maximum(den, 1e-300))
