@@ -128,6 +128,27 @@ class TreeConfig:
             raise ValueError("kernel_backend must be auto|xla|pallas")
         if self.traversal_mode not in ("shared", "lists", "lmac"):
             raise ValueError("traversal_mode must be shared|lists|lmac")
+        # --- product-mode matrix (r3 verdict item: dead combos raise) ---
+        # Product engines: traversal "shared" with farfield
+        # grid|grid2|m2p (headline theta-envelope configs) and "lmac"
+        # with grid2|m2p (accuracy engine: strictly-tighter monotone box
+        # MAC). "lists" (the round-1 per-tile interaction lists) and
+        # quadrupole with the tile-expansion far fields (local/grid,
+        # which would silently fall back to the lists path) are
+        # DIAGNOSTIC-ONLY: set RAKAU_DIAG_MODES=1 to use them for
+        # debugging or as the reference-exact oracle mode.
+        import os as _os
+        _diag = _os.environ.get("RAKAU_DIAG_MODES") == "1"
+        if self.traversal_mode == "lists" and not _diag:
+            raise ValueError(
+                "traversal_mode='lists' is diagnostic-only (superseded "
+                "by 'shared'/'lmac'; set RAKAU_DIAG_MODES=1 to allow)")
+        if (self.multipole_order >= 2
+                and self.farfield in ("local", "grid") and not _diag):
+            raise ValueError(
+                "multipole_order=2 requires farfield='m2p' or 'grid2' "
+                "(with 'local'/'grid' the quadrupole falls back to the "
+                "diagnostic lists path; set RAKAU_DIAG_MODES=1 to allow)")
         if self.farfield not in ("local", "m2p", "grid", "grid2"):
             raise ValueError("farfield must be local|m2p|grid|grid2")
         if self.farfield == "grid2":

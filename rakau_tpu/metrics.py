@@ -47,6 +47,8 @@ def collect_query_stats(td: TreeData, cfg: TreeConfig, theta,
     statistics. Always uses traversal_mode='lists' — per-tile list sizes
     are the meaningful padding-waste diagnostic; the shared-candidate
     mode auto-tunes from its own query maxima (engine with_stats)."""
+    import os
+    os.environ.setdefault("RAKAU_DIAG_MODES", "1")  # this IS a diagnostic
     cfg = cfg.with_(traversal_mode="lists")
     tiles_pos, tiles_idx, blo, bhi, _tcell = engine._gather_tiles(td, cfg)
     nch = tiles_pos.shape[0]

@@ -11,6 +11,9 @@ registration entirely.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# tests exercise the diagnostic modes too (lists traversal, quad+grid
+# fallbacks) — product configs raise on them without this
+os.environ.setdefault("RAKAU_DIAG_MODES", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
