@@ -42,6 +42,23 @@ def eval_shared(cfg: TreeConfig, tgt_pos, tgt_idx, src_pos, src_mass,
         backend = "pallas" if _on_tpu() else "xla"
     comp = cfg.accum == "compensated"
     sep = cfg.grid_sep if src_cell is not None else 0
+    import os as _os
+    if _os.environ.get("RAKAU_SKIP_KERNEL") == "1":
+        # timing diagnostic: everything-but-the-kernel slice cost. All
+        # operands feed the output so DCE cannot drop the traversal/
+        # materialization work being measured.
+        import jax.numpy as jnp
+        C, T, D = tgt_pos.shape
+        z = (jnp.sum(src_pos) + jnp.sum(src_mass)
+             + jnp.sum(mask.astype(tgt_pos.dtype))
+             + jnp.sum(src_idx.astype(tgt_pos.dtype)))
+        if src_cell is not None:
+            z = z + jnp.sum(src_cell.astype(tgt_pos.dtype))
+        if src_quad is not None:
+            z = z + jnp.sum(src_quad)
+        z = z * 0.0
+        return (jnp.zeros((C, T, D), tgt_pos.dtype) + z,
+                jnp.zeros((C, T), tgt_pos.dtype) + z)
     if src_pos.shape[0] == 0:
         # empty segment (e.g. an all-quad row's monopole launch): both
         # kernels break on zero-length source rows
