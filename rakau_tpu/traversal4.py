@@ -1,0 +1,226 @@
+"""Global (tile, node) incidence walk — the r5 "gwalk" engine's front
+half (PLAN.md r4 session 2).
+
+The per-chunk engines re-walk the top of the tree for every chunk and
+re-materialize per-chunk union rows + [C, S] masks; at 8M that is ~7 ms
+of loop-context overhead per chunk against a 2 ms kernel. This module
+walks ONCE per query over a global frontier of (tile, node) PAIRS:
+
+  frontier_0 = {(t, root) : t valid}
+  round:  expand each pair to the node's children, classify each
+          (tile, child) with the same COM MAC (+ grid coverage drops)
+          traversal2 uses, emit accepted pairs to the m2p incidence
+          list, opened leaves to the leaf incidence list, and keep
+          opened internal nodes as the next frontier.
+
+Work is proportional to the ACTUAL pair population (dense 1-D ops, no
+[C, K] panels over dead slots), and every list stays tile-major by
+construction: the initial frontier is tile-sorted, expansion repeats
+tiles in place, and compaction is stable — so per-round emissions
+concatenate into round-major/tile-minor order that a single stable sort
+by tile (or a counting pass) turns into per-tile segments for the pool
+builder.
+
+Capacity contract (same overflow/retry machinery as the chunk engines,
+reusing the standard cap fields with global meaning):
+  m2p_cap      : total (tile, node) M2P incidences
+  p2p_leaf_cap : total (tile, leaf) open incidences
+  frontier_cap : peak global frontier pairs
+Overflow never truncates silently: flags ride the standard [4] vector.
+
+Reference mapping (SURVEY.md C7): this is the level-synchronous
+dual-tree interaction-list build (the GPU-BH lineage) replacing rakau's
+per-thread recursive stacks; the chunk engines' walk-free/lmac variants
+remain for the accuracy modes.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import scan_utils as su
+from .build import TreeData
+from .config import TreeConfig, MAC_BH_GEOM
+from .traversal2 import _grid_l0, _grid_sep
+
+I32 = jnp.int32
+
+
+class GlobalLists(NamedTuple):
+    """Tile-sorted global incidence lists.
+
+    m2p_tile/m2p_node [MCAP]: accepted (tile, node) pairs, sorted by
+    tile (padding: tile == G_pad, node == -1). leaf_tile/leaf_node
+    [LCAP]: opened (tile, leaf) pairs, likewise. counts/overflow: the
+    standard contract.
+    """
+    m2p_tile: jnp.ndarray
+    m2p_node: jnp.ndarray
+    m2p_cnt: jnp.ndarray      # [] int32
+    leaf_tile: jnp.ndarray
+    leaf_node: jnp.ndarray
+    leaf_cnt: jnp.ndarray     # [] int32
+    overflow: jnp.ndarray     # [4] bool (m2p, leaf, unused, frontier)
+    maxima: jnp.ndarray       # [4] int32 (m2p, leaf, 0, peak frontier)
+
+
+def build_global_incidences(td: TreeData, cfg: TreeConfig, theta,
+                            box_lo, box_hi, tile_valid=None,
+                            tcell_lo=None, tcell_hi=None) -> GlobalLists:
+    """One global walk over all G tiles (jittable; cfg static).
+
+    box_lo/box_hi [G, D]: tile AABBs. tcell_lo/tcell_hi [G, D]: tile
+    leaf-grid cell ranges (grid/grid2 coverage drops; optional).
+    """
+    G, D = box_lo.shape
+    dtype = td.pos.dtype
+    theta_inv = 1.0 / jnp.asarray(theta, dtype)
+    n = td.pos.shape[0]
+    M = td.node_level.shape[0]
+    use_grid = cfg.farfield in ("grid", "grid2")
+    L0 = _grid_l0(cfg, n) if use_grid else 0
+    use_grid = use_grid and L0 > 0
+    S_sep = _grid_sep(cfg)
+    bh_geom = cfg.mac == MAC_BH_GEOM
+    if tile_valid is None:
+        tile_valid = jnp.ones((G,), bool)
+    if tcell_lo is None and use_grid:
+        raise ValueError("grid farfields need tile cell ranges")
+
+    FCAP = cfg.frontier_cap
+    MCAP = cfg.m2p_cap
+    LCAP = cfg.p2p_leaf_cap
+    k8 = 2 ** D
+    R = cfg.max_depth + 1
+
+    # per-node packed row (like traversal2.make_tables but local: com,
+    # mass, size, lvl|leaf, cellpack, delta)
+    size = td.box_size * jnp.exp2(-td.node_level.astype(dtype))
+    sh = jnp.maximum(td.node_level - L0, 0)
+    cpack = jnp.zeros(M, I32)
+    if use_grid:
+        for d in range(D):
+            cpack = cpack | ((td.node_cell[:, d] >> sh) << (d * L0))
+    delta = (td.node_delta if bh_geom
+             else jnp.zeros(M, dtype))
+    lvl_leaf = td.node_level + 64 * td.node_is_leaf.astype(I32)
+
+    def classify(tiles, nodes, pvalid):
+        """[K] pairs -> (accept, open_leaf, open_internal) bools."""
+        nid = jnp.where(pvalid, nodes, 0)
+        tid = jnp.where(pvalid, tiles, 0)
+        com = td.node_com[nid]                          # [K, D]
+        mass = td.node_mass[nid]
+        lo = box_lo[tid]
+        hi = box_hi[tid]
+        d = jnp.maximum(jnp.maximum(lo - com, com - hi), 0.0)
+        d2 = jnp.sum(d * d, axis=-1)
+        thresh = size[nid] * theta_inv + (delta[nid] if bh_geom else 0.0)
+        acc = d2 > thresh * thresh
+        ll = lvl_leaf[nid]
+        lvl = ll & 63
+        leaf = ll >= 64
+        use = pvalid & (mass > 0)
+        if use_grid:
+            sh_t = jnp.maximum(L0 - lvl, 0)
+            fmask = (1 << L0) - 1
+            cp = cpack[nid]
+            sep = None
+            for dd in range(D):
+                nc = (cp >> (dd * L0)) & fmask
+                tl = tcell_lo[tid, dd] >> sh_t
+                th = tcell_hi[tid, dd] >> sh_t
+                sd = jnp.maximum(jnp.maximum(nc - th, tl - nc), 0)
+                sep = sd if sep is None else jnp.maximum(sep, sd)
+            use = use & (sep < S_sep)                   # covered -> drop
+            acc = acc & (lvl >= L0)
+        accepted = acc & use
+        opened = (~acc) & use
+        return accepted, opened & leaf, opened & ~leaf
+
+    def emit(buf_t, buf_n, off, cap, sel, tiles, nodes):
+        """Scatter selected pairs at off..off+cnt into (buf_t, buf_n)
+        (dump row at cap for overflow/unselected). Returns new off."""
+        csum = jnp.cumsum(sel.astype(I32))
+        cnt = csum[-1]
+        pos = jnp.where(sel, off + csum - 1, cap)
+        pos = jnp.minimum(pos, cap)
+        buf_t = buf_t.at[pos].set(jnp.where(sel, tiles, buf_t[cap]),
+                                  mode="drop")
+        buf_n = buf_n.at[pos].set(jnp.where(sel, nodes, buf_n[cap]),
+                                  mode="drop")
+        return buf_t, buf_n, off + cnt
+
+    # round 0: (tile, root) for every valid tile (tile-major by
+    # construction: arange order)
+    f_tile0 = jnp.arange(FCAP, dtype=I32) % jnp.maximum(G, 1)
+    f_node0 = jnp.zeros(FCAP, I32)
+    f_cnt0 = jnp.minimum(G, FCAP)
+    fvalid0 = (jnp.arange(FCAP) < G) & tile_valid[
+        jnp.minimum(jnp.arange(FCAP), G - 1)]
+    acc0, leaf0, open0 = classify(f_tile0, f_node0, fvalid0)
+
+    mt = jnp.full(MCAP + 1, G, I32)
+    mn = jnp.full(MCAP + 1, -1, I32)
+    lt = jnp.full(LCAP + 1, G, I32)
+    ln = jnp.full(LCAP + 1, -1, I32)
+    mt, mn, m_off = emit(mt, mn, jnp.zeros((), I32), MCAP, acc0,
+                         f_tile0, f_node0)
+    lt, ln, l_off = emit(lt, ln, jnp.zeros((), I32), LCAP, leaf0,
+                         f_tile0, f_node0)
+    idx0, cnt0 = su.compact_indices(open0, FCAP)
+    iv0 = idx0 < FCAP
+    ic0 = jnp.clip(idx0, 0, FCAP - 1)
+    frontier_t = jnp.where(iv0, f_tile0[ic0], 0)
+    frontier_n = jnp.where(iv0, f_node0[ic0], 0)
+    f_cnt = jnp.minimum(cnt0, FCAP)
+    f_peak = cnt0
+
+    def round_body(carry):
+        (r, ft, fn, fc, mt, mn, m_off, lt, ln, l_off, f_peak) = carry
+        fvalid = jnp.arange(FCAP, dtype=I32) < fc
+        nid = jnp.where(fvalid, fn, 0)
+        cb = td.node_child_begin[nid]
+        cc = td.node_child_count[nid]
+        # expansion: [FCAP * k8] child pairs, tile-major preserved
+        kids = (cb[:, None] + jnp.arange(k8, dtype=I32)).reshape(-1)
+        ktile = jnp.repeat(ft, k8)
+        kval = ((jnp.arange(k8, dtype=I32)[None, :] < cc[:, None])
+                .reshape(-1) & jnp.repeat(fvalid, k8))
+        accs, leafs, opens = classify(ktile, kids, kval)
+        mt, mn, m_off = emit(mt, mn, m_off, MCAP, accs, ktile, kids)
+        lt, ln, l_off = emit(lt, ln, l_off, LCAP, leafs, ktile, kids)
+        idx, cnt = su.compact_indices(opens, FCAP)
+        iv = idx < FCAP * k8
+        ic = jnp.clip(idx, 0, FCAP * k8 - 1)
+        ft = jnp.where(iv, ktile[ic], 0)
+        fn = jnp.where(iv, kids[ic], 0)
+        return (r + 1, ft, fn, jnp.minimum(cnt, FCAP), mt, mn, m_off,
+                lt, ln, l_off, jnp.maximum(f_peak, cnt))
+
+    carry = (jnp.ones((), I32), frontier_t, frontier_n, f_cnt,
+             mt, mn, m_off, lt, ln, l_off, f_peak)
+    carry = jax.lax.while_loop(
+        lambda c: (c[0] < R) & (c[3] > 0), round_body, carry)
+    (_, _, _, _, mt, mn, m_off, lt, ln, l_off, f_peak) = carry
+
+    # tile-major segments: per-round emissions are tile-sorted but the
+    # concatenation is round-major — one stable sort by tile finishes it
+    mkey = jnp.where(jnp.arange(MCAP + 1) < m_off, mt, G)[:MCAP]
+    _, mn_s = jax.lax.sort((mkey, mn[:MCAP]), num_keys=1)
+    mt_s = jnp.sort(mkey)
+    lkey = jnp.where(jnp.arange(LCAP + 1) < l_off, lt, G)[:LCAP]
+    _, ln_s = jax.lax.sort((lkey, ln[:LCAP]), num_keys=1)
+    lt_s = jnp.sort(lkey)
+
+    ovf = jnp.stack([m_off > MCAP, l_off > LCAP,
+                     jnp.zeros((), bool), f_peak > FCAP])
+    mx = jnp.stack([m_off, l_off, jnp.zeros((), I32), f_peak])
+    return GlobalLists(m2p_tile=mt_s, m2p_node=jnp.where(mt_s < G, mn_s, -1),
+                       m2p_cnt=jnp.minimum(m_off, MCAP),
+                       leaf_tile=lt_s,
+                       leaf_node=jnp.where(lt_s < G, ln_s, -1),
+                       leaf_cnt=jnp.minimum(l_off, LCAP),
+                       overflow=ovf, maxima=mx)
