@@ -102,7 +102,8 @@ def config2(scale, steps=None):
     # monopole), so this floor is ~1e-5-class instead of the monopole
     # theta=0.3 oracle's ~1e-3 (VERDICT r2 weak item: the drift
     # diagnostic must out-resolve the drift it reports).
-    ecfg = cfg.with_(multipole_order=2, accum="compensated")
+    ecfg = cfg.with_(multipole_order=2, accum="compensated",
+                     farfield="m2p")
 
     def energy(s):
         if n <= 65536:
