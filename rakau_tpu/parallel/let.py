@@ -151,7 +151,8 @@ def acc_pot_let(pos, mass, cfg: TreeConfig, theta, eps, G, mesh: Mesh,
         pos = jnp.concatenate([pos, corner], axis=0)
         mass = jnp.concatenate([mass, jnp.zeros(pad, dtype)], axis=0)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(axis), P(axis)),
              out_specs=(P(axis), P(axis), P(), P()))
     def run(pos_l, mass_l):
         me = jax.lax.axis_index(axis)
@@ -277,7 +278,8 @@ def _acc_pot_let_global(pos, mass, cfg_q, cfg_e, theta, eps, G, mesh,
         pos_s = jnp.concatenate([pos_s, corner], axis=0)
         mass_s = jnp.concatenate([mass_s, jnp.zeros(pad, dtype)], axis=0)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(axis), P(axis)),
              out_specs=(P(axis), P(axis), P(), P()))
     def run(pos_l, mass_l):
         td = _build.build_tree(pos_l, mass_l, cfg_q, box_size=box_size)

@@ -97,7 +97,7 @@ def acc_pot_u_sharded(td: TreeData, cfg: TreeConfig, theta, eps, G,
     # grid2 extras: cells 0, clo 0, chi -1 (inverted empty cell range)
     tiles = tuple(padc(a, f) for a, f in zip(tiles, fills))
 
-    @partial(jax.shard_map, mesh=mesh,
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
              in_specs=(P(), P(),) + (P(axis),) * len(tiles),
              out_specs=(P(), P(), P()))
     def run(td_rep, tables_rep, *tiles_l):
