@@ -176,7 +176,8 @@ def build_global_incidences(td: TreeData, cfg: TreeConfig, theta,
     frontier_t = jnp.where(iv0, f_tile0[ic0], 0)
     frontier_n = jnp.where(iv0, f_node0[ic0], 0)
     f_cnt = jnp.minimum(cnt0, FCAP)
-    f_peak = cnt0
+    # peak includes the G-pair root frontier (flags G > FCAP)
+    f_peak = jnp.maximum(cnt0, jnp.asarray(G, I32))
 
     def round_body(carry):
         (r, ft, fn, fc, mt, mn, m_off, lt, ln, l_off, f_peak) = carry
@@ -224,3 +225,131 @@ def build_global_incidences(td: TreeData, cfg: TreeConfig, theta,
                        leaf_node=jnp.where(lt_s < G, ln_s, -1),
                        leaf_cnt=jnp.minimum(l_off, LCAP),
                        overflow=ovf, maxima=mx)
+
+
+class GlobalPool(NamedTuple):
+    """Block-aligned per-tile source pool (the gwalk engine's kernel
+    feed; PLAN.md r4 session 2).
+
+    Every tile owns two contiguous BLOCK-ALIGNED segments in the flat
+    pool: its M2P node rows, then its expanded P2P particle rows.
+    Padding rows carry mass 0 / idx -1 / far sentinel positions, so a
+    kernel that streams whole blocks adds exactly nothing for them.
+
+    pos [P, D] / mass [P] / idx [P] : kernel source planes (idx = -1
+    for node rows and padding — the standard self-exclusion contract).
+    m2p_blk/m2p_nblk [G]  : first block id / block count per tile.
+    p2p_blk/p2p_nblk [G]  : likewise for the particle segment.
+    p2p_cnt [] / overflow : total expanded particle rows vs its cap
+                            (cfg.p2p_src_cap, global meaning).
+    """
+    pos: jnp.ndarray
+    mass: jnp.ndarray
+    idx: jnp.ndarray
+    m2p_blk: jnp.ndarray
+    m2p_nblk: jnp.ndarray
+    p2p_blk: jnp.ndarray
+    p2p_nblk: jnp.ndarray
+    p2p_cnt: jnp.ndarray
+    overflow: jnp.ndarray     # [] bool (pool capacity)
+
+
+def build_pool(td: TreeData, gl: GlobalLists, G: int, block: int,
+               pool_cap: int, sentinel=None) -> GlobalPool:
+    """Materialize the block-aligned source pool from tile-sorted
+    incidence lists (jittable; G, block, pool_cap static).
+
+    pool_cap: total pool rows (block-aligned per-tile segments; size it
+    ~ (m2p + p2p incidences) + 2 * G * block/2 alignment slack)."""
+    dtype = td.pos.dtype
+    n = td.pos.shape[0]
+    D = td.pos.shape[1]
+    if sentinel is None:
+        sentinel = jnp.asarray(4.0, dtype) * td.box_size
+    MCAP = gl.m2p_tile.shape[0]
+    LCAP = gl.leaf_tile.shape[0]
+
+    # ---- per-tile counts via boundaries in the tile-sorted lists ----
+    def seg_bounds(tiles_arr):
+        # first index of each tile t in the sorted array (G+1 fences)
+        return jnp.searchsorted(tiles_arr, jnp.arange(G + 1),
+                                side="left").astype(I32)
+
+    mb = seg_bounds(gl.m2p_tile)                    # [G+1]
+    m_cnt = mb[1:] - mb[:-1]                        # [G]
+
+    # p2p rows per tile = sum of leaf sizes over its leaf incidences
+    lsz = jnp.where(gl.leaf_node >= 0,
+                    td.node_end[jnp.maximum(gl.leaf_node, 0)]
+                    - td.node_begin[jnp.maximum(gl.leaf_node, 0)], 0)
+    lb_fence = seg_bounds(gl.leaf_tile)             # [G+1]
+    lcum = jnp.concatenate([jnp.zeros(1, I32),
+                            jnp.cumsum(lsz.astype(I32))])
+    p_cnt = lcum[lb_fence[1:]] - lcum[lb_fence[:-1]]  # [G]
+
+    # ---- block-aligned segment offsets ----
+    m_nblk = -(-m_cnt // block)
+    p_nblk = -(-p_cnt // block)
+    tile_blocks = m_nblk + p_nblk
+    blk_off = jnp.concatenate([jnp.zeros(1, I32),
+                               jnp.cumsum(tile_blocks)])  # [G+1]
+    m2p_blk = blk_off[:-1]
+    p2p_blk = blk_off[:-1] + m_nblk
+    total_rows = blk_off[-1] * block
+    overflow = total_rows > pool_cap
+
+    # ---- scatter M2P node rows ----
+    # position of incidence i (tile t, rank r) = m2p_blk[t]*B + r
+    m_t = jnp.clip(gl.m2p_tile, 0, G - 1)
+    ranks = jnp.arange(MCAP, dtype=I32) - mb[m_t]
+    valid_m = gl.m2p_node >= 0
+    pos_m = jnp.where(valid_m, m2p_blk[m_t] * block + ranks, pool_cap)
+    pos_m = jnp.minimum(pos_m, pool_cap)
+    nid = jnp.maximum(gl.m2p_node, 0)
+    pool_pos = jnp.full((pool_cap + 1, D), sentinel, dtype)
+    pool_mass = jnp.zeros(pool_cap + 1, dtype)
+    pool_idx = jnp.full(pool_cap + 1, -1, I32)
+    pool_pos = pool_pos.at[pos_m].set(
+        jnp.where(valid_m[:, None], td.node_com[nid], sentinel))
+    pool_mass = pool_mass.at[pos_m].set(
+        jnp.where(valid_m, td.node_mass[nid], 0.0))
+
+    # ---- expand leaf incidences to particle rows ----
+    # leaf incidence j (tile t) starts at p2p_blk[t]*B + (lcum[j] -
+    # lcum[first leaf of t]); its particles are node_begin..end
+    PCAP = pool_cap  # expansion bounded by the pool itself
+    l_t = jnp.clip(gl.leaf_tile, 0, G - 1)
+    l_start = (p2p_blk[l_t] * block
+               + (lcum[:-1] - lcum[lb_fence[l_t]]))   # [LCAP]
+    valid_l = gl.leaf_node >= 0
+    # row-of-particle expansion over the pool index space: mark leaf
+    # starts, cummax to propagate (start, leaf id) to each row slot
+    total_p = jnp.minimum(lcum[-1], PCAP)
+    kq = jnp.arange(pool_cap, dtype=I32)
+    # scatter per-leaf (start row -> leaf ordinal+1), then cummax
+    marks = jnp.zeros(pool_cap + 1, I32)
+    lpos = jnp.where(valid_l & (lsz > 0), jnp.minimum(l_start, pool_cap),
+                     pool_cap)
+    marks = marks.at[lpos].max(jnp.arange(LCAP, dtype=I32) + 1)
+    lead = jax.lax.cummax(marks[:pool_cap])          # leaf ordinal + 1
+    has = lead > 0
+    lo_ = jnp.maximum(lead - 1, 0)
+    within = kq - l_start[lo_]
+    inleaf = has & (within >= 0) & (within < lsz[lo_])
+    pidx = jnp.where(inleaf,
+                     td.node_begin[jnp.maximum(gl.leaf_node[lo_], 0)]
+                     + within, -1)
+    pidx_c = jnp.clip(pidx, 0, n - 1)
+    prow_pos = jnp.where(inleaf[:, None], td.pos[pidx_c], sentinel)
+    prow_mass = jnp.where(inleaf, td.mass[pidx_c], 0.0)
+    # merge particle rows into the pool (node scatter already placed;
+    # particle slots are disjoint from node slots by construction)
+    pool_pos = jnp.where(inleaf[:, None], prow_pos, pool_pos[:pool_cap])
+    pool_mass = jnp.where(inleaf, prow_mass, pool_mass[:pool_cap])
+    pool_idx = jnp.where(inleaf, pidx, pool_idx[:pool_cap])
+
+    return GlobalPool(pos=pool_pos, mass=pool_mass, idx=pool_idx,
+                      m2p_blk=m2p_blk, m2p_nblk=m_nblk,
+                      p2p_blk=p2p_blk, p2p_nblk=p_nblk,
+                      p2p_cnt=lcum[-1],
+                      overflow=overflow | (lcum[-1] > PCAP))

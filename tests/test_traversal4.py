@@ -106,3 +106,61 @@ def test_global_incidences_match_traversal2(farfield):
                             np.maximum(pc[p] - tc, tc - pc[p]), 0))
                         assert sep >= 3, \
                             f"tile {g}: extra particle {p} not covered"
+
+
+def test_pool_matches_shared_engine_physics():
+    """gwalk incidences + block-aligned pool, evaluated naively per
+    tile, reproduce the shared+m2p engine's accelerations (same MAC
+    set, different summation order)."""
+    from rakau_tpu import traversal4 as t4
+    n = 2048
+    pos, mass = particles.plummer(jax.random.PRNGKey(9), n)
+    cfg = TreeConfig(max_depth=8, max_leaf_n=16, ncrit=64, tile_chunk=8,
+                     m2p_cap=32768, p2p_leaf_cap=32768, p2p_src_cap=65536,
+                     frontier_cap=8192, farfield="m2p")
+    td = build.build_tree(pos, mass, cfg)
+    th = jnp.float32(0.7)
+    tiles = engine._gather_tiles(td, cfg)
+    (tpos, tidx, blo, bhi, tcell), _ = engine._split_tiles(tiles)
+    nch, C = tpos.shape[:2]
+    G = nch * C
+    fv = (tidx[..., 0] < n).reshape(G)
+    gl = t4.build_global_incidences(
+        td, cfg, th, blo.reshape(G, -1), bhi.reshape(G, -1),
+        tile_valid=fv)
+    assert not bool(np.asarray(gl.overflow).any())
+    B = 128
+    pool = t4.build_pool(td, gl, G, B, pool_cap=262144)
+    assert not bool(np.asarray(pool.overflow))
+
+    ppos = np.asarray(pool.pos, np.float64)
+    pmass = np.asarray(pool.mass, np.float64)
+    pidx = np.asarray(pool.idx)
+    mb, mn_, pb, pn = (np.asarray(pool.m2p_blk), np.asarray(pool.m2p_nblk),
+                       np.asarray(pool.p2p_blk), np.asarray(pool.p2p_nblk))
+    tpos_f = np.asarray(tpos, np.float64).reshape(G, -1, 3)
+    tidx_f = np.asarray(tidx).reshape(G, -1)
+
+    acc_ref, _, ovf = jax.block_until_ready(
+        engine.acc_pot_u(td, cfg, th, jnp.float32(0.0), 1.0))
+    assert not bool(np.asarray(ovf).any())
+    acc_ref = np.asarray(acc_ref, np.float64)
+
+    for g in range(0, G, 7):
+        if not fv[g]:
+            continue
+        rows = np.r_[mb[g] * B:(mb[g] + mn_[g]) * B,
+                     pb[g] * B:(pb[g] + pn[g]) * B]
+        sp, sm, si = ppos[rows], pmass[rows], pidx[rows]
+        for k in range(0, tpos_f.shape[1], 13):
+            i = tidx_f[g, k]
+            if i >= n:
+                continue
+            d = sp - tpos_f[g, k]
+            r2 = (d * d).sum(1)
+            live = (sm > 0) & (si != i) & (r2 > 0)
+            w3 = np.where(live, sm / np.maximum(r2, 1e-300) ** 1.5, 0.0)
+            a = (w3[:, None] * d).sum(0)
+            ref = acc_ref[i]
+            dev = np.linalg.norm(a - ref) / max(np.linalg.norm(ref), 1e-30)
+            assert dev < 5e-6, f"tile {g} tgt {i}: dev {dev:.2e}"
