@@ -188,6 +188,8 @@ def main():
         "vs_baseline": float(evals_per_sec / 1e9),
         "aux": {
             "backend": backend,
+            "caps": [cfg.m2p_cap, cfg.p2p_leaf_cap, cfg.p2p_src_cap,
+                     cfg.frontier_cap],
             "n": n,
             "theta": theta,
             "query_ms": query_s * 1e3,
