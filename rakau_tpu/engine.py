@@ -473,7 +473,18 @@ def _slice_query_jit(td, cfg, theta, eps, G, tiles, tables, Lgrid,
                            cand=cand, src=src)
 
     xs = (sliced, srcs) if srcs is not None else sliced
-    acc, pot, ovf, mx = jax.lax.map(chunk_fn, xs)
+    unroll = int(_os.environ.get("RAKAU_SLICE_UNROLL", "1"))
+    if unroll > 1:
+        # kernel-skip forensics (r4): the lax.map/while iteration
+        # machinery costs ~5 ms/chunk on the axon backend — more than
+        # the kernel itself. Unrolling the chunk loop into straight
+        # line code removes it at the price of a K-times-larger trace
+        # (slower cold compile).
+        acc, pot, ovf, mx = jax.lax.scan(
+            lambda c, x: (c, chunk_fn(x)), None, xs,
+            unroll=min(unroll, K))[1]
+    else:
+        acc, pot, ovf, mx = jax.lax.map(chunk_fn, xs)
     ovf = jnp.any(ovf, axis=0)
     mx = jnp.max(mx, axis=0)
     if cand is not None:
