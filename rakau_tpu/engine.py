@@ -560,9 +560,7 @@ def acc_pot_u_host(td, cfg: TreeConfig, theta, eps, G=1.0,
     n_live = max(1, -(-int(td.n_tiles) // CH))
     n_live = min(n_live, n_chunks)
     K = min(slice_chunks, n_live)
-    accs, pots = [], []
-    ovf = jnp.zeros(4, bool)
-    mx = jnp.zeros(4, I32)
+    accs, pots, ovfs, mxs = [], [], [], []
     for s in range(0, n_live, K):
         start = min(s, n_live - K)  # final slice overlaps; results align
         a, p, o, m = _slice_query_jit(td, cfg, theta, eps, G, tiles,
@@ -572,8 +570,13 @@ def acc_pot_u_host(td, cfg: TreeConfig, theta, eps, G=1.0,
             a, p = a[-keep:], p[-keep:]
         accs.append(a)
         pots.append(p)
-        ovf = ovf | o
-        mx = jnp.maximum(mx, m)
+        # collect lazily — an eager `ovf | o` here dispatches through
+        # the tunnel between slices (~4 ops x 26 ms RTT x n_slices was
+        # ~2 s of the 8M query, r4 forensics); reduce once below
+        ovfs.append(o)
+        mxs.append(m)
+    ovf = jnp.any(jnp.stack(ovfs), axis=0)
+    mx = jnp.max(jnp.stack(mxs), axis=0)
     acc_tiles = jnp.concatenate(accs, axis=0)
     pot_tiles = jnp.concatenate(pots, axis=0)
     # pad tail (unprocessed padding chunks) so assembly shapes match
