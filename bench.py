@@ -49,9 +49,13 @@ def main():
         max_leaf_n=int(os.environ.get("RAKAU_BENCH_LEAF", 32)),
         ncrit=int(os.environ.get("RAKAU_BENCH_NCRIT", 512)),
         tile_chunk=int(os.environ.get("RAKAU_BENCH_CHUNK", 32)),
-        m2p_cap=int(os.environ.get("RAKAU_BENCH_M2P", 8192)),
-        p2p_leaf_cap=int(os.environ.get("RAKAU_BENCH_P2PLEAF", 2048)),
-        p2p_src_cap=int(os.environ.get("RAKAU_BENCH_P2PSRC", 65536)),
+        # defaults = the measured fitted caps of the 8M default run
+        # (aux "caps", r4): when the maxima fit first try, the growth
+        # loop and the fit re-jit both skip — two fewer cold compiles
+        # on the driver's fresh-container run
+        m2p_cap=int(os.environ.get("RAKAU_BENCH_M2P", 9728)),
+        p2p_leaf_cap=int(os.environ.get("RAKAU_BENCH_P2PLEAF", 5888)),
+        p2p_src_cap=int(os.environ.get("RAKAU_BENCH_P2PSRC", 47104)),
         # lmac reuses frontier_cap as the slice-level group-candidate
         # capacity (engine._slice_query_jit); needs ~node-table scale
         frontier_cap=int(os.environ.get(
