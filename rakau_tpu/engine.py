@@ -524,16 +524,20 @@ _QUERY_STATE_CACHE: dict = {}
 
 
 def _query_state(td, cfg, eps):
-    key = (id(td.pos), cfg, float(jnp.asarray(eps)))
+    # keyed/guarded on BOTH pos and mass identity: the tables embed node
+    # mass/COM, so a tree sharing a position buffer with different
+    # masses must miss (ADVICE r4: a mass-only update that skips the
+    # pos gather would otherwise return stale physics)
+    key = (id(td.pos), id(td.mass), cfg, float(jnp.asarray(eps)))
     hit = _QUERY_STATE_CACHE.get(key)
     # id() can be reused after GC; verify the cached tree is the caller's
-    if hit is not None and hit[0] is td.pos:
-        return hit[1]
+    if hit is not None and hit[0] is td.pos and hit[1] is td.mass:
+        return hit[2]
     tiles, tables = _tiles_jit(td, cfg)
     Lgrid = _grid_jit(td, cfg, eps)
     while len(_QUERY_STATE_CACHE) >= 2:
         _QUERY_STATE_CACHE.pop(next(iter(_QUERY_STATE_CACHE)))
-    _QUERY_STATE_CACHE[key] = (td.pos, (tiles, tables, Lgrid))
+    _QUERY_STATE_CACHE[key] = (td.pos, td.mass, (tiles, tables, Lgrid))
     return tiles, tables, Lgrid
 
 

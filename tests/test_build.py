@@ -140,7 +140,7 @@ def test_overflow_flag():
 def test_quadrupole_moments(rng):
     n = 1000
     pos, mass = particles.plummer(jax.random.PRNGKey(4), n)
-    cfg = TreeConfig(multipole_order=2, max_leaf_n=32)
+    cfg = TreeConfig(multipole_order=2, max_leaf_n=32, farfield="m2p")
     td = build.build_tree(pos, mass, cfg)
     n_nodes = int(td.n_nodes)
     pos_s = np.asarray(td.pos)

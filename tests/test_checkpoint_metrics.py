@@ -42,7 +42,7 @@ def test_state_roundtrip(tmp_path):
     assert int(st["step"]) == 7
 
 
-def test_query_stats_and_fitted_caps():
+def test_query_stats_and_fitted_caps(diag_modes):
     pos, mass = particles.plummer(jax.random.PRNGKey(43), 2048)
     cfg = TreeConfig(**CFG)
     td = build.build_tree(pos, mass, cfg)

@@ -114,13 +114,14 @@ def test_quadrupole_improves_accuracy():
     errs = {}
     for order in [0, 2]:
         cfg = TreeConfig(max_depth=10, max_leaf_n=16, ncrit=64,
-                         multipole_order=order, tile_chunk=8)
+                         multipole_order=order, tile_chunk=8,
+                         farfield="m2p")
         acc, pot = tree_acc_pot(pos, mass, cfg, theta=0.6)
         errs[order] = rms(rel_vec_err(acc, acc_o))
     assert errs[2] < errs[0] * 0.5, errs
 
 
-def test_quadrupole_shared_matches_lists():
+def test_quadrupole_shared_matches_lists(diag_modes):
     """multipole_order=2 on the shared traversal (node rows carry second
     moments into the kernels' quadrupole correction) must agree with the
     per-tile list traversal's quadrupole path and beat monopole."""
