@@ -72,8 +72,16 @@ class TreeConfig:
     # "shared": per-chunk union walk with exact per-tile masks
     # (traversal2); "lmac": walk-free monotone local-MAC predicate
     # (traversal3 — strictly tighter acceptance than bh at equal theta);
+    # "gwalk": ONE global (tile, node) incidence walk + block-aligned
+    # source pool + single-launch pool kernel (traversal4 — no per-chunk
+    # re-walk/materialization, kernel density ~1 by construction);
     # "lists": per-tile interaction lists (traversal.py).
-    traversal_mode: str = "shared"  # "shared" | "lists" | "lmac"
+    # In gwalk mode the walk/list capacities take GLOBAL meaning:
+    # m2p_cap = total (tile, node) M2P incidences, p2p_leaf_cap = total
+    # opened (tile, leaf) incidences, p2p_src_cap = total pool rows,
+    # frontier_cap = peak global frontier pairs. The same overflow/
+    # fit_caps machinery sizes them.
+    traversal_mode: str = "shared"  # "shared" | "lists" | "lmac" | "gwalk"
     # Far-field handling (shared traversal only): "local" accumulates
     # MAC-accepted nodes that are far relative to the target tile into a
     # tile-local Taylor expansion (M2L+L2P, expansion.py) and keeps only
@@ -101,6 +109,16 @@ class TreeConfig:
     # blocks — the TPU-native "mixed fp32/fp64 accumulation" of BASELINE
     # config #3; fp64 hardware accumulate does not exist on TPU).
     accum: str = "fp32"
+    # gwalk pool geometry: source block rows (per-tile segments are
+    # block-aligned; the kernel streams whole blocks) and the VMEM-
+    # resident window rows (no tile's segment may straddle a window).
+    pool_block: int = 512
+    pool_window: int = 262144
+    # gwalk per-round frontier capacities (static tuple): when set, the
+    # global walk unrolls with each round's shapes matched to its real
+    # frontier instead of paying frontier_cap*2^D every round. Fit from
+    # a tuning query's GlobalLists.round_counts via fit_round_caps.
+    gwalk_round_caps: Optional[tuple] = None
     # Far gate: dist(tile_center, COM) > gamma * r_tile. gamma=4 measured
     # RMS-neutral vs the exact per-particle M2P path at theta=0.75
     # (1.99e-3 vs 1.98e-3, 16k Plummer); gamma=2 trades ~1.8x RMS for a
@@ -126,8 +144,21 @@ class TreeConfig:
             raise ValueError("multipole_order must be 0 (monopole) or 2 (quadrupole)")
         if self.kernel_backend not in ("auto", "xla", "pallas"):
             raise ValueError("kernel_backend must be auto|xla|pallas")
-        if self.traversal_mode not in ("shared", "lists", "lmac"):
-            raise ValueError("traversal_mode must be shared|lists|lmac")
+        if self.traversal_mode not in ("shared", "lists", "lmac",
+                                       "gwalk"):
+            raise ValueError(
+                "traversal_mode must be shared|lists|lmac|gwalk")
+        if self.traversal_mode == "gwalk":
+            if self.farfield not in ("m2p", "grid"):
+                raise ValueError(
+                    "traversal_mode='gwalk' supports farfield='m2p' or "
+                    "'grid' (grid2's per-pair coverage masks are not "
+                    "wired into the pool kernel; use 'shared'/'lmac')")
+            if (self.pool_block < 128
+                    or self.pool_window % self.pool_block):
+                raise ValueError(
+                    "pool_window must be a multiple of pool_block "
+                    "(>= 128)")
         # --- product-mode matrix (r3 verdict item: dead combos raise) ---
         # Product engines: traversal "shared" with farfield
         # grid|grid2|m2p (headline theta-envelope configs) and "lmac"
@@ -243,3 +274,16 @@ def fit_caps(cfg: TreeConfig, maxima, slack: float = 1.25,
         p2p_src_cap=fit(p2p_max, 2 * quantum),
         p2p_leaf_cap=max(256, fit(leaf_max, 256)),
         frontier_cap=max(256, fit(f_max, 256)))
+
+
+def fit_round_caps(round_counts, slack: float = 1.3,
+                   quantum: int = 256) -> tuple:
+    """Per-round frontier capacities for the unrolled gwalk walk from a
+    tuning query's measured GlobalLists.round_counts (open pairs after
+    each round). Trailing zero rounds are dropped — they become
+    STATICALLY absent in the unrolled walk."""
+    counts = [int(c) for c in round_counts]
+    while counts and counts[-1] == 0:
+        counts.pop()
+    return tuple(max(quantum, -(-int(c * slack) // quantum) * quantum)
+                 for c in counts)

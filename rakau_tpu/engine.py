@@ -277,6 +277,118 @@ def _eval_chunk(td: TreeData, cfg: TreeConfig, theta, eps, G, dtype,
     return acc, pot, il.overflow, il.maxima
 
 
+def _gwalk_impl(td: TreeData, cfg: TreeConfig, theta, eps, G, tiles,
+                Lgrid, mode: str = "both"):
+    """gwalk query (traversal_mode='gwalk'): ONE global (tile, node)
+    incidence walk (traversal4.build_global_incidences), ONE block-
+    aligned source pool (build_pool, window-packed), ONE pool-kernel
+    launch — no per-chunk re-walks, union masks, or materialization
+    (the ~5 ms/chunk in-context cost that bounded the shared engine at
+    8M, PLAN r4 wrap). Far field: 'm2p' needs nothing extra; 'grid'
+    adds the dense stencil far field via per-tile L2L/L2P exactly like
+    the chunk engine (the local_gamma far/near Taylor gate is NOT
+    applied — every walk-accepted node rides the kernel, which is the
+    gamma >= 1e9 configuration the 8M headline already uses).
+
+    Returns (acc_u, pot_u, ovf[4], maxima[4]) in the standard cap
+    order; in gwalk mode the caps have global meaning (config.py)."""
+    from . import traversal4
+    from .kernels import dispatch
+    n, ndim = td.pos.shape
+    dtype = td.pos.dtype
+    T = cfg.ncrit
+    (tpos, tidx, blo, bhi, tcell), gx = _split_tiles(tiles)
+    nc, CH = tpos.shape[:2]
+    G0 = nc * CH
+    tpos_f = tpos.reshape(G0, T, ndim)
+    tidx_f = tidx.reshape(G0, T)
+    blo_f = blo.reshape(G0, ndim)
+    bhi_f = bhi.reshape(G0, ndim)
+    tcell_f = tcell.reshape(G0, ndim)
+    tvalid = tidx_f[:, 0] < n
+
+    use_grid = cfg.farfield == "grid"
+    kw = {}
+    if use_grid:
+        kw = dict(tcell_lo=tcell_f, tcell_hi=tcell_f)
+    gl = traversal4.build_global_incidences(
+        td, cfg, theta, blo_f, bhi_f, tile_valid=tvalid, **kw)
+
+    block = cfg.pool_block
+    W = cfg.pool_window
+    Wb = W // block
+    pool_cap = cfg.p2p_src_cap
+    pkw = {}
+    if use_grid:
+        from . import traversal2 as _t2
+        from .grid2 import particle_cells
+        L0 = _t2._grid_l0(cfg, n)
+        if L0 > 0:
+            pkw = dict(pcell=particle_cells(td.pos, td.box_size,
+                                            cfg.max_depth, L0),
+                       tcell_lo=tcell_f, tcell_hi=tcell_f,
+                       sep=_t2._grid_sep(cfg))
+    from .build import _quad_dim
+    qd = _quad_dim(ndim) if cfg.multipole_order >= 2 else 0
+    pool = traversal4.build_pool(td, gl, G0, block, pool_cap,
+                                 window_blocks=Wb, quad_dim=qd, **pkw)
+
+    # pad the pool to whole windows; derive the per-tile schedule
+    NW = -(-pool_cap // W)
+    sentinel = jnp.asarray(4.0, dtype) * td.box_size
+    ppos = jnp.concatenate(
+        [pool.pos[:pool_cap],
+         jnp.full((NW * W - pool_cap, ndim), sentinel, dtype)], axis=0)
+    pmass = jnp.concatenate(
+        [pool.mass[:pool_cap], jnp.zeros(NW * W - pool_cap, dtype)])
+    pidx = jnp.concatenate(
+        [pool.idx[:pool_cap],
+         jnp.full(NW * W - pool_cap, -1, I32)], axis=0)
+    pquad = None
+    if qd:
+        pquad = jnp.concatenate(
+            [pool.quad[:pool_cap],
+             jnp.zeros((NW * W - pool_cap, qd), dtype)], axis=0)
+    # overflow-safe clamps (an overflowed pool flags + retries; the
+    # clamped schedule just keeps the kernel's reads in bounds)
+    win = jnp.clip(pool.m2p_blk // Wb, 0, NW - 1)
+    start = jnp.clip(pool.m2p_blk - win * Wb, 0, Wb - 1)
+    m_nb = jnp.clip(pool.m2p_nblk, 0, jnp.maximum(Wb - start, 0))
+    p_nb = jnp.clip(pool.p2p_nblk, 0,
+                    jnp.maximum(Wb - start - m_nb, 0))
+    sched = jnp.stack([win, start, m_nb, p_nb], axis=1)
+
+    acc, pot = dispatch.eval_pool(
+        cfg, tpos_f, tidx_f, ppos, pmass, pidx, sched, W, block,
+        eps, G, mode=mode, pool_quad=pquad)
+
+    if use_grid and Lgrid is not None:
+        from . import expansion, grid as gridmod
+        L0 = gridmod.effective_grid_level(cfg, n)
+        flat = gridmod.rowmajor_cell_index(tcell_f, ndim, L0)
+        Lg = Lgrid[flat]                                 # [G0, NC]
+        s0 = td.box_size * (2.0 ** -L0)
+        ccenter = (tcell_f.astype(dtype) + 0.5) * s0 - td.box_size / 2
+        center = 0.5 * (blo_f + bhi_f)
+        shift = jnp.where(tvalid[:, None], center - ccenter, 0.0)
+        L = jnp.where(tvalid[:, None],
+                      expansion.l2l(Lg, shift, cfg.local_order), 0.0)
+        acc_l, pot_l = expansion.l2p(L, center, tpos_f, G,
+                                     cfg.local_order)
+        if mode in ("both", "acc"):
+            acc = acc + jnp.where(tvalid[:, None, None], acc_l, 0.0)
+        if mode in ("both", "pot"):
+            pot = pot + jnp.where(tvalid[:, None], pot_l, 0.0)
+
+    acc_u, pot_u = _assemble_impl(td, cfg, acc, pot)
+    # standard-order overflow/maxima (caps global in gwalk mode)
+    ovf = jnp.stack([gl.overflow[0], gl.overflow[1],
+                     pool.overflow, gl.overflow[3]])
+    mx = jnp.stack([gl.maxima[0], pool.total_rows,
+                    gl.maxima[3], gl.maxima[1]])
+    return acc_u, pot_u, ovf, mx, gl.round_counts
+
+
 def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0,
               with_stats: bool = False, extra=None, mode: str = "both"):
     """Accelerations and potentials for all particles, Morton order.
@@ -288,6 +400,16 @@ def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0,
     n, ndim = td.pos.shape
     dtype = td.pos.dtype
     tiles = _gather_tiles(td, cfg)
+    if cfg.traversal_mode == "gwalk":
+        if extra is not None:
+            raise NotImplementedError(
+                "LET imports ride the shared/lmac engines, not gwalk")
+        Lgrid = _grid_farfield(td, cfg, eps)
+        acc_u, pot_u, ovf, mx, _rc = _gwalk_impl(td, cfg, theta, eps, G,
+                                                 tiles, Lgrid, mode=mode)
+        if with_stats:
+            return acc_u, pot_u, ovf, mx
+        return acc_u, pot_u, ovf
     (tiles_pos, tiles_idx, box_lo, box_hi, tiles_cell), gx = \
         _split_tiles(tiles)
     tables = _make_tables(td, cfg)
@@ -358,7 +480,8 @@ def _make_tables(td, cfg):
 
 def _grid_farfield(td, cfg, eps):
     """Dense stencil far field (grid.py) when enabled; else None."""
-    if (cfg.farfield != "grid" or cfg.traversal_mode != "shared"
+    if (cfg.farfield != "grid"
+            or cfg.traversal_mode not in ("shared", "gwalk")
             or cfg.multipole_order >= 2):
         return None
     from . import grid as gridmod
@@ -494,8 +617,7 @@ def _slice_query_jit(td, cfg, theta, eps, G, tiles, tables, Lgrid,
     return acc, pot, ovf, mx
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _assemble_jit(td, cfg, acc_tiles, pot_tiles):
+def _assemble_impl(td, cfg, acc_tiles, pot_tiles):
     """Map per-tile results (chunk-stacked) back to Morton particle order
     via the monotone tile-begin binary search."""
     n, ndim = td.pos.shape
@@ -513,6 +635,40 @@ def _assemble_jit(td, cfg, acc_tiles, pot_tiles):
     off = p - tb_padded[jnp.clip(t_of_p, 0, td.tile_begin.shape[0] - 1)]
     off = jnp.clip(off, 0, T - 1)
     return acc_flat[t_of_p, off], pot_flat[t_of_p, off]
+
+
+_assemble_jit = partial(jax.jit, static_argnames=("cfg",))(_assemble_impl)
+
+_gwalk_jit = partial(jax.jit,
+                     static_argnames=("cfg", "mode"))(_gwalk_impl)
+
+
+def tune_gwalk(td, cfg: TreeConfig, theta, eps, G=1.0,
+               max_retries: int = 6):
+    """Fit the gwalk global caps AND per-round frontier caps from one
+    (or a few, under overflow-retry) dynamic-walk queries. Returns the
+    fitted config (gwalk_round_caps set — subsequent queries run the
+    unrolled walk whose shapes match the measured frontiers)."""
+    import numpy as np
+    from .config import fit_caps, fit_round_caps
+    cfg_dyn = cfg.with_(gwalk_round_caps=None)
+    dt = td.pos.dtype
+    theta = jnp.asarray(theta, dt)
+    eps = jnp.asarray(eps, dt)
+    G = jnp.asarray(G, dt)
+    _OVF = ("m2p_cap", "p2p_leaf_cap", "p2p_src_cap", "frontier_cap")
+    for _ in range(max_retries):
+        tiles, tables, Lgrid = _query_state(td, cfg_dyn, eps)
+        _, _, ovf, mx, rcnt = _gwalk_jit(td, cfg_dyn, theta, eps, G,
+                                         tiles, Lgrid)
+        flags = np.asarray(ovf)
+        if not flags.any():
+            break
+        cfg_dyn = cfg_dyn.with_(**{f: 2 * getattr(cfg_dyn, f)
+                                   for f, hit in zip(_OVF, flags)
+                                   if hit})
+    fitted = fit_caps(cfg_dyn, np.asarray(mx))
+    return fitted.with_(gwalk_round_caps=fit_round_caps(np.asarray(rcnt)))
 
 
 # Derived per-tree query state (tiles gather + traversal tables + grid
@@ -557,6 +713,11 @@ def acc_pot_u_host(td, cfg: TreeConfig, theta, eps, G=1.0,
     eps = jnp.asarray(eps, dt)
     G = jnp.asarray(G, dt)
     tiles, tables, Lgrid = _query_state(td, cfg, eps)
+    if cfg.traversal_mode == "gwalk":
+        # one executable: walk + pool + single kernel launch (well under
+        # the ~60 s dispatch watchdog — the whole 8M query is seconds)
+        return _gwalk_jit(td, cfg, theta, eps, G, tiles, Lgrid,
+                          mode=mode)[:4]
     n_chunks = tiles[0].shape[0]
     CH = tiles[0].shape[1]
     # Only slices containing real tiles need processing (tile capacity

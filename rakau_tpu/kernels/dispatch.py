@@ -145,6 +145,29 @@ def eval_shared(cfg: TreeConfig, tgt_pos, tgt_idx, src_pos, src_mass,
                            grid_sep=sep)
 
 
+def eval_pool(cfg: TreeConfig, tgt_pos, tgt_idx, pool_pos, pool_mass,
+              pool_idx, sched, window: int, block: int, eps, G,
+              mode: str = "both", pool_quad=None):
+    """gwalk pool evaluation (traversal4.build_pool feed): Pallas on
+    TPU (one launch, VMEM-resident windows), dense-gather XLA reference
+    elsewhere. The CPU reference ignores `compensated` on the monopole
+    path (the CPU tree runs fp64 outright when accuracy matters)."""
+    backend = cfg.kernel_backend
+    if backend == "auto":
+        backend = "pallas" if _on_tpu() else "xla"
+    comp = cfg.accum == "compensated"
+    if backend == "pallas":
+        from . import pallas as pk
+        return pk.eval_pool(tgt_pos, tgt_idx, pool_pos, pool_mass,
+                            pool_idx, sched, window, eps, G, block,
+                            compensated=comp, mode=mode,
+                            pool_quad=pool_quad)
+    return xla.eval_pool(tgt_pos, tgt_idx, pool_pos, pool_mass,
+                         pool_idx, sched, window, eps, G, block,
+                         compensated=comp, mode=mode,
+                         pool_quad=pool_quad)
+
+
 def eval_tiles(cfg: TreeConfig, tgt_pos, tgt_idx,
                m2p_pos, m2p_mass, m2p_quad,
                p2p_pos, p2p_mass, p2p_idx, eps, G,

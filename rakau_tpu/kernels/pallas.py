@@ -962,6 +962,209 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
     return G * acc, G * pot
 
 
+def _pool_kernel(sched_ref, eps2_ref, *refs, ndim, block, compensated,
+                 mode, quad):
+    """gwalk pool kernel: grid (G,) — one step per target tile, fed by
+    the block-aligned per-tile source pool (traversal4.build_pool).
+
+    No mask plane and no per-chunk anything: tile g's sources are the
+    contiguous pool blocks [start, start + m_nblk + p_nblk) inside its
+    window (density ~1 by construction — the structural fix for the
+    shared-mask engine's 12% kernel density, PLAN r4 s2). Windows are
+    VMEM-resident [1, 1, W] blocks of the pool indexed by the scalar-
+    prefetched window id; consecutive tiles share a window, so Mosaic
+    skips the refetch on an unchanged index.
+
+    sched_ref [G, 4] int32: window id (consumed by the index maps),
+    start block local to the window, m2p block count, p2p block count.
+    refs: tgt planes x ndim + tgt_idx [1,T,1],
+          window planes x ndim + mass + idx [1,1,W]
+          (+ `quad` second-moment planes [1,1,W]),
+          outs: acc planes x ndim + pot [1,T,1].
+    The two segments run as two count-bounded loops so the (~3x/pair)
+    quadrupole math is paid only on node rows; node/padding rows carry
+    idx -1 and mass 0 so the standard self-exclusion / dead-pair
+    gating handles them."""
+    g = pl.program_id(0)
+    n_t = ndim + 1
+    tgt_refs = refs[:ndim]
+    ti_ref = refs[ndim]
+    src_refs = refs[n_t:n_t + ndim + 2]
+    sq_refs = refs[n_t + ndim + 2:n_t + ndim + 2 + quad]
+    out_refs = refs[n_t + ndim + 2 + quad:]
+    eps2 = eps2_ref[0]
+
+    T = tgt_refs[0].shape[1]
+    tcols = [r[0] for r in tgt_refs]                    # (T, 1)
+    ti = ti_ref[0]                                      # (T, 1) i32
+
+    def make_body(start, with_quad):
+        def body(k, carry):
+            accs, pot, comp = carry
+            off = pl.multiple_of((start + k) * block, block)
+            srows = [src_refs[d][0, :, pl.ds(off, block)]
+                     for d in range(ndim)]              # (1, B)
+            m = src_refs[ndim][0, :, pl.ds(off, block)]
+            si = src_refs[ndim + 1][0, :, pl.ds(off, block)]
+            qrows = ([r[0, :, pl.ds(off, block)] for r in sq_refs]
+                     if with_quad else [])
+            dxs = []
+            r2 = None
+            for d in range(ndim):
+                dx = srows[d] - tcols[d]                # (T, B)
+                dxs.append(dx)
+                r2 = dx * dx if r2 is None else r2 + dx * dx
+            r2 = r2 + eps2
+            inv_r = jax.lax.rsqrt(r2)
+            dead = (si == ti) | (r2 <= 0.0)
+            inv_r = jnp.where(dead, 0.0, inv_r)
+            w = m * inv_r
+            if with_quad:
+                # inv_r is already zeroed for dead pairs, so every
+                # inv3/inv5/inv7-weighted quad term self-gates
+                inv2 = inv_r * inv_r
+                inv3 = inv2 * inv_r
+                inv5 = inv3 * inv2
+                pairs = [(a, b) for a in range(ndim)
+                         for b in range(a, ndim)]
+                trq = None
+                dqd = None
+                qdx = [None] * ndim
+                for ci, (a, b) in enumerate(pairs):
+                    qc = qrows[ci]                       # (1, B)
+                    coef = 1.0 if a == b else 2.0
+                    t_ = coef * qc * dxs[a] * dxs[b]     # (T, B)
+                    dqd = t_ if dqd is None else dqd + t_
+                    if a == b:
+                        trq = qc if trq is None else trq + qc
+                        qdx[a] = (qc * dxs[b] if qdx[a] is None
+                                  else qdx[a] + qc * dxs[b])
+                    else:
+                        qdx[a] = (qc * dxs[b] if qdx[a] is None
+                                  else qdx[a] + qc * dxs[b])
+                        qdx[b] = (qc * dxs[a] if qdx[b] is None
+                                  else qdx[b] + qc * dxs[a])
+            parts = []
+            if mode in ("both", "acc"):
+                w3 = w * inv_r * inv_r
+                if with_quad:
+                    inv7 = inv5 * inv2
+                    f7 = dqd * inv7
+                    parts += [jnp.sum(w3 * dx - 3.0 * qdx[d] * inv5
+                                      - 1.5 * trq * dx * inv5
+                                      + 7.5 * dx * f7,
+                                      axis=1, keepdims=True)
+                              for d, dx in enumerate(dxs)]
+                else:
+                    parts += [jnp.sum(w3 * dx, axis=1, keepdims=True)
+                              for dx in dxs]
+            else:
+                parts += [None] * ndim
+            if mode in ("both", "pot"):
+                if with_quad:
+                    parts.append(-jnp.sum(
+                        w + 1.5 * dqd * inv5 - 0.5 * trq * inv3,
+                        axis=1, keepdims=True))
+                else:
+                    parts.append(-jnp.sum(w, axis=1, keepdims=True))
+            else:
+                parts.append(None)
+            if compensated:
+                new = []
+                for i, (a, p) in enumerate(zip(accs + [pot], parts)):
+                    if p is None:
+                        new.append(a)
+                        continue
+                    s, e = _two_sum(a, p)
+                    comp[i] = comp[i] + e
+                    new.append(s)
+                return new[:ndim], new[ndim], comp
+            accs = [a if p is None else a + p
+                    for a, p in zip(accs, parts[:ndim])]
+            pot = pot if parts[ndim] is None else pot + parts[ndim]
+            return accs, pot, comp
+        return body
+
+    acc0 = [jnp.zeros((T, 1), jnp.float32) for _ in range(ndim)]
+    pot0 = jnp.zeros((T, 1), jnp.float32)
+    comp0 = [jnp.zeros((T, 1), jnp.float32) for _ in range(ndim + 1)]
+    carry = (acc0, pot0, comp0)
+    start = sched_ref[g, 1]
+    if quad:
+        # node segment with quadrupole math, then particle segment mono
+        carry = jax.lax.fori_loop(0, sched_ref[g, 2],
+                                  make_body(start, True), carry)
+        carry = jax.lax.fori_loop(0, sched_ref[g, 3],
+                                  make_body(start + sched_ref[g, 2],
+                                            False), carry)
+    else:
+        carry = jax.lax.fori_loop(0, sched_ref[g, 2] + sched_ref[g, 3],
+                                  make_body(start, False), carry)
+    accs, pot, comp = carry
+    for d in range(ndim):
+        out_refs[d][0] = accs[d] + comp[d] if compensated else accs[d]
+    out_refs[ndim][0] = pot + comp[ndim] if compensated else pot
+
+
+def eval_pool(tgt_pos, tgt_idx, pool_pos, pool_mass, pool_idx, sched,
+              window: int, eps, G, block: int, compensated: bool = False,
+              mode: str = "both", pool_quad=None,
+              interpret: bool = False):
+    """gwalk pool evaluation (see _pool_kernel).
+
+    tgt_pos [G, T, D] / tgt_idx [G, T]; pool planes [P] rows with P a
+    multiple of `window` (block-aligned per-tile segments packed so no
+    tile straddles a window, traversal4.build_pool(window_blocks=...));
+    sched [G, 4] int32 (window id, local start block, m2p blocks,
+    p2p blocks). One pallas launch for the whole query's near field."""
+    Gt, T, D = tgt_pos.shape
+    P = pool_pos.shape[0]
+    assert P % window == 0 and window % block == 0
+    NW = P // window
+
+    eps2 = jnp.asarray([jnp.asarray(eps, jnp.float32) ** 2], jnp.float32)
+    tgt_planes = [tgt_pos[:, :, d:d + 1] for d in range(D)]
+    tgt_planes.append(tgt_idx[:, :, None])
+    win_planes = [pool_pos[:, d].reshape(NW, 1, window) for d in range(D)]
+    win_planes.append(pool_mass.reshape(NW, 1, window))
+    win_planes.append(pool_idx.reshape(NW, 1, window))
+    qdim = 0
+    if pool_quad is not None:
+        qdim = pool_quad.shape[1]
+        win_planes += [pool_quad[:, i].reshape(NW, 1, window)
+                       for i in range(qdim)]
+
+    def tspec():
+        return pl.BlockSpec((1, T, 1), lambda g, s, e: (g, 0, 0))
+
+    def wspec():
+        return pl.BlockSpec((1, 1, window), lambda g, s, e: (s[g, 0], 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Gt,),
+        in_specs=([tspec() for _ in tgt_planes]
+                  + [wspec() for _ in win_planes]),
+        out_specs=[tspec() for _ in range(D + 1)],
+    )
+    kernel = functools.partial(_pool_kernel, ndim=D, block=block,
+                               compensated=compensated, mode=mode,
+                               quad=qdim)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((Gt, T, 1), jnp.float32)
+                   for _ in range(D + 1)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=fused_vmem_budget()),
+    )(sched, eps2, *tgt_planes, *win_planes)
+    acc = jnp.concatenate(outs[:D], axis=2)
+    pot = outs[D][:, :, 0]
+    G = jnp.asarray(G, tgt_pos.dtype)
+    return G * acc, G * pot
+
+
 def eval_tiles(tgt_pos, tgt_idx, m2p_pos, m2p_mass, m2p_quad,
                p2p_pos, p2p_mass, p2p_idx, eps, G,
                m2p_cnt=None, p2p_cnt=None,

@@ -269,6 +269,46 @@ def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
     return G * acc, G * pot
 
 
+def eval_pool(tgt_pos, tgt_idx, pool_pos, pool_mass, pool_idx, sched,
+              window: int, eps, G, block: int, compensated: bool = False,
+              mode: str = "both", pool_quad=None):
+    """Reference backend for the gwalk pool evaluation (pallas.eval_pool):
+    gathers each tile's pool segment into a dense [G, W] panel and runs
+    the per-component kernel. O(G * window) memory — fine for the CPU
+    test shapes; the TPU path streams windows instead."""
+    Gt, T, D = tgt_pos.shape
+    wb = window // block
+    abs_blk = sched[:, 0] * wb + sched[:, 1]            # [G]
+    nrows = (sched[:, 2] + sched[:, 3]) * block
+    cap = pool_pos.shape[0]
+    rows = abs_blk[:, None] * block + jnp.arange(window)[None, :]
+    valid = jnp.arange(window)[None, :] < nrows[:, None]
+    rows = jnp.where(valid, rows, cap - 1)
+    sp = jnp.where(valid[..., None], pool_pos[rows], 1e30)
+    sm = jnp.where(valid, pool_mass[rows], 0.0)
+    si = jnp.where(valid, pool_idx[rows], -1)
+    if pool_quad is None:
+        acc, pot = eval_p2p(tgt_pos, tgt_idx, sp, sm, si, eps, G,
+                            block=block)
+    else:
+        sq = jnp.where(valid[..., None], pool_quad[rows], 0.0)
+        mask1 = jnp.ones((1, window), bool)
+
+        def per_tile(tp, tix, s, m, i, q):
+            a, p = eval_shared(tp[None], tix[None], s, m, i, mask1,
+                               eps, G, block=block,
+                               compensated=compensated, mode=mode,
+                               src_quad=q)
+            return a[0], p[0]
+
+        acc, pot = jax.vmap(per_tile)(tgt_pos, tgt_idx, sp, sm, si, sq)
+    if mode == "acc":
+        pot = pot * 0
+    elif mode == "pot":
+        acc = acc * 0
+    return acc, pot
+
+
 def _quad_pairs(ndim: int):
     pairs = []
     for a in range(ndim):

@@ -64,6 +64,9 @@ class GlobalLists(NamedTuple):
     leaf_cnt: jnp.ndarray     # [] int32
     overflow: jnp.ndarray     # [4] bool (m2p, leaf, unused, frontier)
     maxima: jnp.ndarray       # [4] int32 (m2p, leaf, 0, peak frontier)
+    round_counts: jnp.ndarray = None  # [R+1] int32 open pairs after
+                                      # each round (config.fit_round_caps
+                                      # input for the unrolled walk)
 
 
 def build_global_incidences(td: TreeData, cfg: TreeConfig, theta,
@@ -153,39 +156,13 @@ def build_global_incidences(td: TreeData, cfg: TreeConfig, theta,
                                   mode="drop")
         return buf_t, buf_n, off + cnt
 
-    # round 0: (tile, root) for every valid tile (tile-major by
-    # construction: arange order)
-    f_tile0 = jnp.arange(FCAP, dtype=I32) % jnp.maximum(G, 1)
-    f_node0 = jnp.zeros(FCAP, I32)
-    f_cnt0 = jnp.minimum(G, FCAP)
-    fvalid0 = (jnp.arange(FCAP) < G) & tile_valid[
-        jnp.minimum(jnp.arange(FCAP), G - 1)]
-    acc0, leaf0, open0 = classify(f_tile0, f_node0, fvalid0)
-
-    mt = jnp.full(MCAP + 1, G, I32)
-    mn = jnp.full(MCAP + 1, -1, I32)
-    lt = jnp.full(LCAP + 1, G, I32)
-    ln = jnp.full(LCAP + 1, -1, I32)
-    mt, mn, m_off = emit(mt, mn, jnp.zeros((), I32), MCAP, acc0,
-                         f_tile0, f_node0)
-    lt, ln, l_off = emit(lt, ln, jnp.zeros((), I32), LCAP, leaf0,
-                         f_tile0, f_node0)
-    idx0, cnt0 = su.compact_indices(open0, FCAP)
-    iv0 = idx0 < FCAP
-    ic0 = jnp.clip(idx0, 0, FCAP - 1)
-    frontier_t = jnp.where(iv0, f_tile0[ic0], 0)
-    frontier_n = jnp.where(iv0, f_node0[ic0], 0)
-    f_cnt = jnp.minimum(cnt0, FCAP)
-    # peak includes the G-pair root frontier (flags G > FCAP)
-    f_peak = jnp.maximum(cnt0, jnp.asarray(G, I32))
-
-    def round_body(carry):
-        (r, ft, fn, fc, mt, mn, m_off, lt, ln, l_off, f_peak) = carry
-        fvalid = jnp.arange(FCAP, dtype=I32) < fc
+    def expand_round(ft, fn, fc, in_cap, mt, mn, m_off, lt, ln, l_off):
+        """Expand a [in_cap] frontier to children, classify, emit."""
+        fvalid = jnp.arange(in_cap, dtype=I32) < fc
         nid = jnp.where(fvalid, fn, 0)
         cb = td.node_child_begin[nid]
         cc = td.node_child_count[nid]
-        # expansion: [FCAP * k8] child pairs, tile-major preserved
+        # expansion: [in_cap * k8] child pairs, tile-major preserved
         kids = (cb[:, None] + jnp.arange(k8, dtype=I32)).reshape(-1)
         ktile = jnp.repeat(ft, k8)
         kval = ((jnp.arange(k8, dtype=I32)[None, :] < cc[:, None])
@@ -193,19 +170,100 @@ def build_global_incidences(td: TreeData, cfg: TreeConfig, theta,
         accs, leafs, opens = classify(ktile, kids, kval)
         mt, mn, m_off = emit(mt, mn, m_off, MCAP, accs, ktile, kids)
         lt, ln, l_off = emit(lt, ln, l_off, LCAP, leafs, ktile, kids)
-        idx, cnt = su.compact_indices(opens, FCAP)
-        iv = idx < FCAP * k8
-        ic = jnp.clip(idx, 0, FCAP * k8 - 1)
-        ft = jnp.where(iv, ktile[ic], 0)
-        fn = jnp.where(iv, kids[ic], 0)
-        return (r + 1, ft, fn, jnp.minimum(cnt, FCAP), mt, mn, m_off,
-                lt, ln, l_off, jnp.maximum(f_peak, cnt))
+        return opens, ktile, kids, mt, mn, m_off, lt, ln, l_off
 
-    carry = (jnp.ones((), I32), frontier_t, frontier_n, f_cnt,
-             mt, mn, m_off, lt, ln, l_off, f_peak)
-    carry = jax.lax.while_loop(
-        lambda c: (c[0] < R) & (c[3] > 0), round_body, carry)
-    (_, _, _, _, mt, mn, m_off, lt, ln, l_off, f_peak) = carry
+    def compact(opens, tiles_arr, nodes_arr, cap):
+        """Compact open pairs into a [cap] frontier; returns true count
+        (may exceed cap — overflow accounting at the caller)."""
+        K = opens.shape[0]
+        idx, cnt = su.compact_indices(opens, cap)
+        iv = idx < K
+        ic = jnp.clip(idx, 0, K - 1)
+        ft = jnp.where(iv, tiles_arr[ic], 0)
+        fn = jnp.where(iv, nodes_arr[ic], 0)
+        return ft, fn, jnp.minimum(cnt, cap), cnt
+
+    mt = jnp.full(MCAP + 1, G, I32)
+    mn = jnp.full(MCAP + 1, -1, I32)
+    lt = jnp.full(LCAP + 1, G, I32)
+    ln = jnp.full(LCAP + 1, -1, I32)
+    rcaps = cfg.gwalk_round_caps
+
+    if rcaps is not None:
+        # ---- statically unrolled, per-round-capped rounds ----------
+        # The while_loop path below pays FCAP*k8-shaped work at EVERY
+        # round regardless of the actual frontier population (the
+        # padded-cap trap, r5 attribution: 563 ms of a 1.3 s query at
+        # 262k). With fitted per-round caps (config.fit_round_caps on
+        # GlobalLists.round_counts) each round's shapes match its real
+        # frontier; trailing rounds whose fitted cap is absent are
+        # statically absent. Any round's true count above its cap (or
+        # leftover opens after the last round) flags frontier overflow
+        # -> the standard grow/refit retry.
+        tiles0 = jnp.arange(G, dtype=I32)
+        nodes0 = jnp.zeros(G, I32)
+        acc0, leaf0, open0 = classify(tiles0, nodes0, tile_valid)
+        mt, mn, m_off = emit(mt, mn, jnp.zeros((), I32), MCAP, acc0,
+                             tiles0, nodes0)
+        lt, ln, l_off = emit(lt, ln, jnp.zeros((), I32), LCAP, leaf0,
+                             tiles0, nodes0)
+        K = min(len(rcaps), R - 1)
+        counts = []
+        ft, fn, fc, cnt0 = compact(open0, tiles0, nodes0,
+                                   rcaps[0] if K else 1)
+        counts.append(cnt0)
+        f_ovf = cnt0 > (rcaps[0] if K else 0)
+        f_peak = cnt0
+        for r in range(1, K + 1):
+            in_cap = rcaps[r - 1]
+            (opens, ktile, kids, mt, mn, m_off,
+             lt, ln, l_off) = expand_round(ft, fn, fc, in_cap,
+                                           mt, mn, m_off, lt, ln, l_off)
+            out_cap = rcaps[r] if r < K else 1
+            ft, fn, fc, cnt = compact(opens, ktile, kids, out_cap)
+            counts.append(cnt)
+            f_peak = jnp.maximum(f_peak, cnt)
+            f_ovf = f_ovf | (cnt > (rcaps[r] if r < K else 0))
+        round_counts = jnp.zeros(R + 1, I32)
+        round_counts = round_counts.at[jnp.arange(len(counts))].set(
+            jnp.stack(counts))
+    else:
+        # ---- dynamic while_loop (the tuning/reference path) --------
+        # round 0: (tile, root) for every valid tile (tile-major by
+        # construction: arange order)
+        f_tile0 = jnp.arange(FCAP, dtype=I32) % jnp.maximum(G, 1)
+        f_node0 = jnp.zeros(FCAP, I32)
+        fvalid0 = (jnp.arange(FCAP) < G) & tile_valid[
+            jnp.minimum(jnp.arange(FCAP), G - 1)]
+        acc0, leaf0, open0 = classify(f_tile0, f_node0, fvalid0)
+        mt, mn, m_off = emit(mt, mn, jnp.zeros((), I32), MCAP, acc0,
+                             f_tile0, f_node0)
+        lt, ln, l_off = emit(lt, ln, jnp.zeros((), I32), LCAP, leaf0,
+                             f_tile0, f_node0)
+        frontier_t, frontier_n, f_cnt, cnt0 = compact(
+            open0, f_tile0, f_node0, FCAP)
+        # peak includes the G-pair root frontier (flags G > FCAP)
+        f_peak = jnp.maximum(cnt0, jnp.asarray(G, I32))
+        rc0 = jnp.zeros(R + 1, I32).at[0].set(cnt0)
+
+        def round_body(carry):
+            (r, ft, fn, fc, mt, mn, m_off, lt, ln, l_off, f_peak,
+             rcnt) = carry
+            (opens, ktile, kids, mt, mn, m_off,
+             lt, ln, l_off) = expand_round(ft, fn, fc, FCAP,
+                                           mt, mn, m_off, lt, ln, l_off)
+            ft, fn, fc, cnt = compact(opens, ktile, kids, FCAP)
+            return (r + 1, ft, fn, fc, mt, mn, m_off,
+                    lt, ln, l_off, jnp.maximum(f_peak, cnt),
+                    rcnt.at[r].set(cnt))
+
+        carry = (jnp.ones((), I32), frontier_t, frontier_n, f_cnt,
+                 mt, mn, m_off, lt, ln, l_off, f_peak, rc0)
+        carry = jax.lax.while_loop(
+            lambda c: (c[0] < R) & (c[3] > 0), round_body, carry)
+        (_, _, _, _, mt, mn, m_off, lt, ln, l_off, f_peak,
+         round_counts) = carry
+        f_ovf = f_peak > FCAP
 
     # tile-major segments: per-round emissions are tile-sorted but the
     # concatenation is round-major — one stable sort by tile finishes it
@@ -217,14 +275,15 @@ def build_global_incidences(td: TreeData, cfg: TreeConfig, theta,
     lt_s = jnp.sort(lkey)
 
     ovf = jnp.stack([m_off > MCAP, l_off > LCAP,
-                     jnp.zeros((), bool), f_peak > FCAP])
+                     jnp.zeros((), bool), f_ovf])
     mx = jnp.stack([m_off, l_off, jnp.zeros((), I32), f_peak])
     return GlobalLists(m2p_tile=mt_s, m2p_node=jnp.where(mt_s < G, mn_s, -1),
                        m2p_cnt=jnp.minimum(m_off, MCAP),
                        leaf_tile=lt_s,
                        leaf_node=jnp.where(lt_s < G, ln_s, -1),
                        leaf_cnt=jnp.minimum(l_off, LCAP),
-                       overflow=ovf, maxima=mx)
+                       overflow=ovf, maxima=mx,
+                       round_counts=round_counts)
 
 
 class GlobalPool(NamedTuple):
@@ -238,10 +297,13 @@ class GlobalPool(NamedTuple):
 
     pos [P, D] / mass [P] / idx [P] : kernel source planes (idx = -1
     for node rows and padding — the standard self-exclusion contract).
+    quad [P, Q] (multipole_order=2 only): raw second moments of the
+    node rows (zero for particle/padding rows).
     m2p_blk/m2p_nblk [G]  : first block id / block count per tile.
     p2p_blk/p2p_nblk [G]  : likewise for the particle segment.
     p2p_cnt [] / overflow : total expanded particle rows vs its cap
                             (cfg.p2p_src_cap, global meaning).
+    total_rows []         : blocks used * block (pool-cap fitting).
     """
     pos: jnp.ndarray
     mass: jnp.ndarray
@@ -252,15 +314,36 @@ class GlobalPool(NamedTuple):
     p2p_nblk: jnp.ndarray
     p2p_cnt: jnp.ndarray
     overflow: jnp.ndarray     # [] bool (pool capacity)
+    total_rows: jnp.ndarray = None   # [] int32
+    quad: jnp.ndarray = None  # [P, Q] or None
 
 
 def build_pool(td: TreeData, gl: GlobalLists, G: int, block: int,
-               pool_cap: int, sentinel=None) -> GlobalPool:
+               pool_cap: int, sentinel=None, window_blocks: int = 0,
+               pcell=None, tcell_lo=None, tcell_hi=None, sep: int = 0,
+               quad_dim: int = 0) -> GlobalPool:
     """Materialize the block-aligned source pool from tile-sorted
     incidence lists (jittable; G, block, pool_cap static).
 
     pool_cap: total pool rows (block-aligned per-tile segments; size it
-    ~ (m2p + p2p incidences) + 2 * G * block/2 alignment slack)."""
+    ~ (m2p + p2p incidences) + 2 * G * block/2 alignment slack).
+
+    window_blocks > 0: pack segments so no tile's (m2p + p2p) block run
+    straddles a window_blocks boundary — the pool kernel keeps one
+    [window_blocks * block]-row window VMEM-resident per tile and whole
+    windows are shared by consecutive tiles (Mosaic skips the refetch).
+    A tile wider than a window flags overflow (grow p2p_src_cap /
+    window) rather than truncating.
+
+    pcell [N, D] + tcell_lo/tcell_hi [G, D] + sep > 0 (farfield='grid'):
+    expanded P2P particle rows whose leaf-grid Chebyshev separation
+    from the owning tile's cell range is >= sep are zeroed — they are
+    covered by the dense stencil far field (the per-particle psep
+    filter of the chunk engines, traversal2; without this, shallow
+    opened leaves would double-count covered matter).
+
+    quad_dim > 0 (multipole_order=2): node rows carry td.node_quad in
+    a [P, quad_dim] plane set (particle rows zero)."""
     dtype = td.pos.dtype
     n = td.pos.shape[0]
     D = td.pos.shape[1]
@@ -291,12 +374,36 @@ def build_pool(td: TreeData, gl: GlobalLists, G: int, block: int,
     m_nblk = -(-m_cnt // block)
     p_nblk = -(-p_cnt // block)
     tile_blocks = m_nblk + p_nblk
-    blk_off = jnp.concatenate([jnp.zeros(1, I32),
-                               jnp.cumsum(tile_blocks)])  # [G+1]
-    m2p_blk = blk_off[:-1]
-    p2p_blk = blk_off[:-1] + m_nblk
-    total_rows = blk_off[-1] * block
-    overflow = total_rows > pool_cap
+    win_ovf = jnp.zeros((), bool)
+    if window_blocks:
+        # Scan-free window packing: pack the plain cumsum offsets into
+        # VIRTUAL windows of wb' = wb - TBmax blocks and place virtual
+        # window v at physical offset v*wb. A tile starting inside its
+        # virtual window extends at most TBmax blocks past its end, so
+        # its physical run ends <= wb — no tile straddles a physical
+        # window and no sequential scan is needed (the r5 greedy
+        # lax.scan cost ~G scalar steps per query). Waste is bounded by
+        # TBmax/wb (25%) of pool rows. Tiles wider than TBmax flag
+        # overflow (raise pool_window), never truncate.
+        wb = window_blocks
+        tbmax = max(1, wb // 4)
+        wbp = wb - tbmax
+        win_ovf = jnp.any(tile_blocks > tbmax)
+        off = jnp.concatenate([jnp.zeros(1, I32),
+                               jnp.cumsum(tile_blocks)])   # [G+1] excl
+        v = off[:-1] // wbp
+        m2p_blk = v * wb + (off[:-1] - v * wbp)
+        end = jnp.where(G > 0,
+                        m2p_blk[G - 1] + tile_blocks[G - 1],
+                        jnp.zeros((), I32))
+    else:
+        blk_off = jnp.concatenate([jnp.zeros(1, I32),
+                                   jnp.cumsum(tile_blocks)])  # [G+1]
+        m2p_blk = blk_off[:-1]
+        end = blk_off[-1]
+    p2p_blk = m2p_blk + m_nblk
+    total_rows = end * block
+    overflow = (total_rows > pool_cap) | win_ovf
 
     # ---- scatter M2P node rows ----
     # position of incidence i (tile t, rank r) = m2p_blk[t]*B + r
@@ -313,6 +420,11 @@ def build_pool(td: TreeData, gl: GlobalLists, G: int, block: int,
         jnp.where(valid_m[:, None], td.node_com[nid], sentinel))
     pool_mass = pool_mass.at[pos_m].set(
         jnp.where(valid_m, td.node_mass[nid], 0.0))
+    pool_quad = None
+    if quad_dim:
+        pool_quad = jnp.zeros((pool_cap + 1, quad_dim), dtype)
+        pool_quad = pool_quad.at[pos_m].set(
+            jnp.where(valid_m[:, None], td.node_quad[nid], 0.0))
 
     # ---- expand leaf incidences to particle rows ----
     # leaf incidence j (tile t) starts at p2p_blk[t]*B + (lcum[j] -
@@ -324,7 +436,6 @@ def build_pool(td: TreeData, gl: GlobalLists, G: int, block: int,
     valid_l = gl.leaf_node >= 0
     # row-of-particle expansion over the pool index space: mark leaf
     # starts, cummax to propagate (start, leaf id) to each row slot
-    total_p = jnp.minimum(lcum[-1], PCAP)
     kq = jnp.arange(pool_cap, dtype=I32)
     # scatter per-leaf (start row -> leaf ordinal+1), then cummax
     marks = jnp.zeros(pool_cap + 1, I32)
@@ -340,16 +451,31 @@ def build_pool(td: TreeData, gl: GlobalLists, G: int, block: int,
                      td.node_begin[jnp.maximum(gl.leaf_node[lo_], 0)]
                      + within, -1)
     pidx_c = jnp.clip(pidx, 0, n - 1)
+    if sep and pcell is not None:
+        # stencil-coverage drop (farfield='grid'): particle's L0-cell
+        # Chebyshev separation from the owning tile's cell range >= sep
+        # means the dense far field already covers this pair
+        own = jnp.clip(l_t[lo_], 0, G - 1)
+        pc = pcell[pidx_c]                            # [P, D]
+        sd = jnp.maximum(jnp.maximum(pc - tcell_hi[own],
+                                     tcell_lo[own] - pc), 0)
+        covered = jnp.max(sd, axis=-1) >= sep
+        inleaf = inleaf & ~covered
     prow_pos = jnp.where(inleaf[:, None], td.pos[pidx_c], sentinel)
     prow_mass = jnp.where(inleaf, td.mass[pidx_c], 0.0)
+    pidx = jnp.where(inleaf, pidx, -1)
     # merge particle rows into the pool (node scatter already placed;
-    # particle slots are disjoint from node slots by construction)
+    # particle slots are disjoint from node slots by construction, and
+    # a coverage-dropped row simply keeps the dead init values)
     pool_pos = jnp.where(inleaf[:, None], prow_pos, pool_pos[:pool_cap])
     pool_mass = jnp.where(inleaf, prow_mass, pool_mass[:pool_cap])
     pool_idx = jnp.where(inleaf, pidx, pool_idx[:pool_cap])
+    if quad_dim:
+        pool_quad = pool_quad[:pool_cap]
 
     return GlobalPool(pos=pool_pos, mass=pool_mass, idx=pool_idx,
                       m2p_blk=m2p_blk, m2p_nblk=m_nblk,
                       p2p_blk=p2p_blk, p2p_nblk=p_nblk,
                       p2p_cnt=lcum[-1],
-                      overflow=overflow | (lcum[-1] > PCAP))
+                      overflow=overflow | (lcum[-1] > PCAP),
+                      total_rows=total_rows, quad=pool_quad)
