@@ -116,13 +116,14 @@ def config2(scale, steps=None):
     dt = 1e-3
     t0 = time.time()
     ovf_any = False
-    n_resort_full = 0
+    n_ovf_steps = 0
     for _ in range(steps):
-        state, ovf, _perm, rf = integrate.leapfrog_step_morton_host(
+        state, ovf, _perm = integrate.leapfrog_step_morton_host(
             state, dt, cfg, jnp.float32(0.75), jnp.float32(eps),
             box_size=box)
-        ovf_any = ovf_any or bool(np.asarray(ovf).any())
-        n_resort_full += int(bool(rf))
+        step_ovf = bool(np.asarray(ovf).any())
+        ovf_any = ovf_any or step_ovf
+        n_ovf_steps += int(step_ovf)
     force(state.pos)
     wall = time.time() - t0
     e1, _ = energy(state)
@@ -131,14 +132,17 @@ def config2(scale, steps=None):
                steps_per_sec=steps / wall,
                evals_per_sec=2 * n * steps / wall,
                energy_drift=drift, energy_kind=ekind, overflow=ovf_any,
-               resort_full_steps=n_resort_full)
+               overflow_steps=n_ovf_steps)
 
 
 def config3(scale):
     """64M disk galaxy, mixed-precision accumulation ACTUALLY enabled
-    (accum='compensated', the TPU-native fp32/fp64-mixed analog) and a
-    MEASURED full-sort vs near-sorted incremental rebuild comparison
-    (SURVEY C11; VERDICT r1 items 4/5 — the label must be true)."""
+    (accum='compensated', the TPU-native fp32/fp64-mixed analog).
+    BASELINE's "incremental re-sort" label is reported as a per-step
+    FULL rebuild time from Morton-ordered input: the near-sorted block
+    re-sort was measured refuted at device scale in r4 (resort_full on
+    every step at both leapfrog workloads; 1.10x ~ noise) and deleted
+    in r5 (build.sort_by_code docstring)."""
     import jax, jax.numpy as jnp, numpy as np
     from rakau_tpu import particles, build, engine
     from rakau_tpu.config import TreeConfig
@@ -148,35 +152,21 @@ def config3(scale):
                      p2p_leaf_cap=4096, p2p_src_cap=49152, m2p_cap=12288,
                      accum="compensated")
     bj = jax.jit(build.build_tree, static_argnames=("cfg",))
-    bj_ns = jax.jit(functools.partial(build.build_tree, near_sorted=True),
-                    static_argnames=("cfg",))
     td = force(bj(pos, mass, cfg))
-    # incremental step: drift the Morton-ordered positions slightly
+    # update-step rebuild: drift the Morton-ordered positions slightly
     drift = 1e-4 * jax.random.normal(jax.random.PRNGKey(4), pos.shape)
     pos2 = td.pos + drift
-    force(bj(pos2, td.mass, cfg))        # warm both executables
-    force(bj_ns(pos2, td.mass, cfg))
+    force(bj(pos2, td.mass, cfg))        # warm the executable
     t0 = time.time()
-    td_full = force(bj(pos2, td.mass, cfg))
-    full_s = time.time() - t0
-    t0 = time.time()
-    td_inc = force(bj_ns(pos2, td.mass, cfg))
-    inc_s = time.time() - t0
-    # the near-sorted rebuild must be EXACT (same sorted codes) and the
-    # block re-sort must actually have been used (no full-sort fallback)
-    codes_equal = bool(jnp.all(td_full.code_hi == td_inc.code_hi)
-                       & jnp.all(td_full.code_lo == td_inc.code_lo))
-    resort_full = bool(np.asarray(td_inc.resort_full))
-    # one compensated-accumulation query on the incremental tree
+    td2 = force(bj(pos2, td.mass, cfg))
+    rebuild_s = time.time() - t0
+    # one compensated-accumulation query on the updated tree
     t0 = time.time()
     acc, pot, ovf, _ = engine.acc_pot_u_host(
-        td_inc, cfg, jnp.float32(0.75), jnp.float32(0.0), 1.0)
+        td2, cfg, jnp.float32(0.75), jnp.float32(0.0), 1.0)
     force(acc)
     query_s = time.time() - t0
-    log_result("3:disk-incremental", n=n, rebuild_full_s=full_s,
-               rebuild_incremental_s=inc_s,
-               incremental_speedup=full_s / inc_s,
-               codes_equal=codes_equal, resort_full=resort_full,
+    log_result("3:disk-update-rebuild", n=n, rebuild_s=rebuild_s,
                accum=cfg.accum,
                query_wall_s=query_s, evals_per_sec=n / query_s,
                overflow=bool(np.asarray(ovf).any()))

@@ -81,22 +81,22 @@ class TreeData(NamedTuple):
     tile_cnt: jnp.ndarray          # [TC] int32 particle count (0 = padding)
     tile_cell: jnp.ndarray         # [TC, D] int32 leaf-grid cell coords
     n_tiles: jnp.ndarray           # [] int32
-    # True iff a near_sorted build's verified block re-sort failed and the
-    # full sort ran instead (observability: a workload that trips this
-    # every step should stop passing near_sorted; VERDICT r2 item 7).
-    resort_full: jnp.ndarray = None  # [] bool
 
 
 def _quad_dim(ndim: int) -> int:
     return ndim * (ndim + 1) // 2
 
 
-def sort_by_code(code_hi, code_lo, *arrays, with_flag: bool = False):
+def sort_by_code(code_hi, code_lo, *arrays):
     """Lexicographic sort by (hi, lo) carrying arrays as sort payloads
     (payload columns ride the sort; no post-sort gathers).
 
-    with_flag appends a [] bool "full sort was used as a near-sorted
-    fallback" flag (always False here; see sort_near_sorted)."""
+    This is the ONLY sort path: the r1-r4 "near-sorted blockwise
+    re-sort" (SURVEY C11 / BASELINE config #3's incremental label) was
+    measured refuted at device scale — its in-graph verification failed
+    on every step of both leapfrog workloads (cold collapse at dt=1e-3
+    and the 32M disk), so both paths full-sorted and the machinery was
+    pure overhead (PLAN r4 session 4; deleted per VERDICT r4 item 5)."""
     n = code_hi.shape[0]
     iota = jnp.arange(n, dtype=I32)
     cols = []
@@ -119,88 +119,6 @@ def sort_by_code(code_hi, code_lo, *arrays, with_flag: bool = False):
         else:
             sorted_arrays.append(jnp.stack([rest.pop(0) for _ in range(s)],
                                            axis=1))
-    if with_flag:
-        return hi_s, lo_s, perm, tuple(sorted_arrays), jnp.zeros((), bool)
-    return hi_s, lo_s, perm, tuple(sorted_arrays)
-
-
-def sort_near_sorted(code_hi, code_lo, *arrays, block: int = 4096,
-                     with_flag: bool = False):
-    """Near-sorted variant of `sort_by_code` (SURVEY C11 / BASELINE
-    config #3 "incremental Morton re-sort"): two overlapping batched
-    block sorts instead of one global sort.
-
-    After a small leapfrog step the previous Morton order is almost
-    sorted; if every particle's rank displacement is < block/2, sorting
-    width-`block` windows at offsets 0 and block/2 yields a fully sorted
-    sequence. Batched width-B sorts cost ~log^2(B) merge stages vs
-    ~log^2(N) for the global sort (~3.5x fewer at B=4k, N=8M). The
-    result is VERIFIED (one lexicographic adjacent-pair check) and falls
-    back to the full sort via lax.cond when any particle moved too far —
-    never an approximation.
-
-    with_flag appends a [] bool that is True iff the fallback fired — a
-    workload whose displacement exceeds block/2 every step pays BOTH
-    block sorts AND the full sort, so callers must be able to see it
-    (VERDICT r2 "near-sorted fallback is invisible")."""
-    n = code_hi.shape[0]
-    if n <= 2 * block:
-        return sort_by_code(code_hi, code_lo, *arrays, with_flag=with_flag)
-    iota = jnp.arange(n, dtype=I32)
-    cols = []
-    splits = []
-    for a in arrays:
-        if a.ndim == 1:
-            cols.append(a)
-            splits.append(None)
-        else:
-            splits.append(a.shape[1])
-            for d in range(a.shape[1]):
-                cols.append(a[:, d])
-    ops = (code_hi, code_lo, iota) + tuple(cols)
-
-    nb = n // block
-    half = block // 2
-
-    def blocked(op_tuple, off: int, width: int):
-        """Sort [off, off+width) in place, width % block == 0."""
-        body = tuple(o[off:off + width].reshape(-1, block)
-                     for o in op_tuple)
-        out = jax.lax.sort(body, num_keys=2, dimension=1)
-        return tuple(
-            jnp.concatenate([o[:off], s.reshape(-1), o[off + width:]])
-            for o, s in zip(op_tuple, out))
-
-    # pass A: aligned blocks (remainder tail merged into the last block
-    # by sorting the final `block` elements in pass B's offset grid)
-    ops = blocked(ops, 0, nb * block)
-    # pass B: offset by block/2; cover the tail by ending at n
-    off = half
-    width = ((n - off) // block) * block
-    ops = blocked(ops, off, width)
-    if off + width < n:
-        ops = blocked(ops, n - block, block)
-
-    hi_s, lo_s = ops[0], ops[1]
-    ok = jnp.all((hi_s[:-1] < hi_s[1:])
-                 | ((hi_s[:-1] == hi_s[1:]) & (lo_s[:-1] <= lo_s[1:])))
-
-    def full(_):
-        return jax.lax.sort((code_hi, code_lo, iota) + tuple(cols),
-                            num_keys=2)
-
-    out = jax.lax.cond(ok, lambda _: ops, full, None)
-    hi_s, lo_s, perm = out[0], out[1], out[2]
-    rest = list(out[3:])
-    sorted_arrays = []
-    for a, s in zip(arrays, splits):
-        if s is None:
-            sorted_arrays.append(rest.pop(0))
-        else:
-            sorted_arrays.append(jnp.stack([rest.pop(0) for _ in range(s)],
-                                           axis=1))
-    if with_flag:
-        return hi_s, lo_s, perm, tuple(sorted_arrays), ~ok
     return hi_s, lo_s, perm, tuple(sorted_arrays)
 
 
@@ -211,14 +129,10 @@ def _inv_permutation(perm):
     return inv
 
 
-def build_tree(pos, mass, cfg: TreeConfig, box_size=None,
-               near_sorted: bool = False) -> TreeData:
-    """Construct the tree (jittable; cfg/near_sorted static).
-
-    near_sorted=True uses the verified two-pass blockwise re-sort
-    (`sort_near_sorted`) — the incremental-update fast path for inputs
-    already close to Morton order (leapfrog steps); falls back to the
-    full sort automatically when the assumption fails."""
+def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
+    """Construct the tree (jittable; cfg static). Update paths re-sort
+    in full: the near-sorted incremental re-sort was measured refuted
+    and deleted (see sort_by_code)."""
     if box_size is None:
         box_size = particles.auto_box_size(pos)
     box_size = jnp.asarray(box_size, pos.dtype)
@@ -231,9 +145,8 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None,
     # ---- 1. encode + payload sort -------------------------------------
     cells = particles.discretize(pos, box_size, depth)
     chi, clo = morton.encode(cells, ndim, depth)
-    sorter = sort_near_sorted if near_sorted else sort_by_code
-    hi_s, lo_s, perm, (pos_s, mass_s, cells_s), resort_full = sorter(
-        chi, clo, pos, mass, cells, with_flag=True)
+    hi_s, lo_s, perm, (pos_s, mass_s, cells_s) = sort_by_code(
+        chi, clo, pos, mass, cells)
     inv_perm = _inv_permutation(perm)
     pidx = jnp.arange(n, dtype=I32)
 
@@ -454,4 +367,4 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None,
         node_cell=node_cell,
         n_nodes=n_nodes, overflow=overflow, box_size=box_size,
         tile_begin=tile_begin, tile_cnt=tile_cnt, tile_cell=tile_cell,
-        n_tiles=n_tiles, resort_full=resort_full)
+        n_tiles=n_tiles)

@@ -54,27 +54,23 @@ def leapfrog_step(state: NBodyState, dt, cfg: TreeConfig, theta, eps,
 def leapfrog_step_morton(state: NBodyState, dt, cfg: TreeConfig, theta,
                          eps, G=1.0, box_size=None):
     """KDK leapfrog step that KEEPS the state in Morton order across
-    steps — the incremental-rebuild pattern (SURVEY C11, BASELINE config
-    #3): each rebuild's input is the previous step's Morton order, so
-    the verified blockwise near-sorted re-sort applies instead of the
-    full global sort. Returns (new_state_in_new_Morton_order, ovf,
-    step_perm, resort_full) where step_perm maps new-order slots to the
-    INPUT order of `state` (compose across steps to recover the original
-    order) and resort_full is True iff either rebuild fell back to the
-    full sort (a workload tripping this every step should stop passing
-    near_sorted — it pays both block sorts AND the full sort)."""
+    steps (SURVEY C11 / BASELINE config #3 pattern): rebuild inputs are
+    the previous step's Morton order, which makes gathers local even
+    though the re-sort is FULL — the near-sorted blockwise re-sort was
+    measured refuted at device scale and deleted (build.sort_by_code).
+    Returns (new_state_in_new_Morton_order, ovf, step_perm) where
+    step_perm maps new-order slots to the INPUT order of `state`
+    (compose across steps to recover the original order)."""
     td0 = _build.build_tree(state.pos, state.mass, cfg,
-                            box_size=box_size, near_sorted=True)
+                            box_size=box_size)
     acc0, _, ovf0 = _engine.acc_pot_u(td0, cfg, theta, eps, G)
     vel_h = state.vel[td0.perm] + 0.5 * dt * acc0
     pos1 = td0.pos + dt * vel_h
-    td1 = _build.build_tree(pos1, td0.mass, cfg, box_size=box_size,
-                            near_sorted=True)
+    td1 = _build.build_tree(pos1, td0.mass, cfg, box_size=box_size)
     acc1, _, ovf1 = _engine.acc_pot_u(td1, cfg, theta, eps, G)
     vel1 = vel_h[td1.perm] + 0.5 * dt * acc1
     step_perm = td0.perm[td1.perm]
-    return (NBodyState(td1.pos, vel1, td1.mass), ovf0 | ovf1, step_perm,
-            td0.resort_full | td1.resort_full)
+    return NBodyState(td1.pos, vel1, td1.mass), ovf0 | ovf1, step_perm
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -123,48 +119,33 @@ def leapfrog_step_host(state: NBodyState, dt, cfg: TreeConfig, theta,
     return NBodyState(pos1, vel1, state.mass), ovf0 | ovf1
 
 
-_build_ns_jit = None
-
-
-def _build_host(pos, mass, cfg, box_size, near_sorted=False):
-    global _build_jit, _build_ns_jit
-    if near_sorted:
-        if _build_ns_jit is None:
-            _build_ns_jit = jax.jit(
-                partial(_build.build_tree, near_sorted=True),
-                static_argnames=("cfg",))
-        f = _build_ns_jit
-    else:
-        if _build_jit is None:
-            _build_jit = jax.jit(_build.build_tree,
-                                 static_argnames=("cfg",))
-        f = _build_jit
-    return f(pos, mass, cfg, None if box_size is None
-             else jnp.asarray(box_size, pos.dtype))
+def _build_host(pos, mass, cfg, box_size):
+    global _build_jit
+    if _build_jit is None:
+        _build_jit = jax.jit(_build.build_tree, static_argnames=("cfg",))
+    return _build_jit(pos, mass, cfg, None if box_size is None
+                      else jnp.asarray(box_size, pos.dtype))
 
 
 def leapfrog_step_morton_host(state: NBodyState, dt, cfg: TreeConfig,
                               theta, eps, G=1.0, box_size=None,
                               slice_chunks: int = 32):
     """Host-sliced KDK step keeping the state in Morton order across
-    steps (the incremental-rebuild pattern of leapfrog_step_morton at
-    watchdog-safe dispatch sizes — BASELINE configs #2/#3 at 8M+).
-    Returns (new_state_in_new_Morton_order, ovf, step_perm,
-    resort_full)."""
+    steps (the Morton-order-maintaining pattern of leapfrog_step_morton
+    at watchdog-safe dispatch sizes — BASELINE configs #2/#3 at 8M+).
+    Returns (new_state_in_new_Morton_order, ovf, step_perm)."""
     dt_ = jnp.asarray(dt, state.pos.dtype)
-    td0 = _build_host(state.pos, state.mass, cfg, box_size,
-                      near_sorted=True)
+    td0 = _build_host(state.pos, state.mass, cfg, box_size)
     acc0, _, ovf0, _mx = _engine.acc_pot_u_host(td0, cfg, theta, eps, G,
                                                 slice_chunks=slice_chunks)
     vel_h = state.vel[td0.perm] + 0.5 * dt_ * acc0
     pos1 = td0.pos + dt_ * vel_h
-    td1 = _build_host(pos1, td0.mass, cfg, box_size, near_sorted=True)
+    td1 = _build_host(pos1, td0.mass, cfg, box_size)
     acc1, _, ovf1, _mx = _engine.acc_pot_u_host(td1, cfg, theta, eps, G,
                                                 slice_chunks=slice_chunks)
     vel1 = vel_h[td1.perm] + 0.5 * dt_ * acc1
     step_perm = td0.perm[td1.perm]
-    return (NBodyState(td1.pos, vel1, td1.mass), ovf0 | ovf1, step_perm,
-            td0.resort_full | td1.resort_full)
+    return NBodyState(td1.pos, vel1, td1.mass), ovf0 | ovf1, step_perm
 
 
 def total_energy_host(state: NBodyState, cfg: TreeConfig, theta, eps,

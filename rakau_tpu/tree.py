@@ -33,10 +33,9 @@ from .utils.timing import phase_timer
 _OVF_FIELDS = ("m2p_cap", "p2p_leaf_cap", "p2p_src_cap", "frontier_cap")
 
 
-@partial(jax.jit, static_argnames=("cfg", "near_sorted"))
-def _build_jit(pos, mass, cfg, box_size, near_sorted=False):
-    return _build.build_tree(pos, mass, cfg, box_size=box_size,
-                             near_sorted=near_sorted)
+@partial(jax.jit, static_argnames=("cfg",))
+def _build_jit(pos, mass, cfg, box_size):
+    return _build.build_tree(pos, mass, cfg, box_size=box_size)
 
 
 def _query_host(td, cfg, theta, eps, G, mode="both"):
@@ -100,16 +99,14 @@ class Tree:
         self._rebuild(pos, mass)
 
     # ------------------------------------------------------------- build
-    def _rebuild(self, pos, mass, near_sorted=False):
-        """near_sorted: the update_* paths pass True — their input is the
-        previous Morton order, so the verified blockwise re-sort
-        (build.sort_near_sorted, SURVEY C11) applies; it falls back to
-        the full sort automatically if particles moved too far."""
+    def _rebuild(self, pos, mass):
+        """Full re-sort + rebuild (the update_* paths too: the r1-r4
+        near-sorted incremental re-sort was measured refuted at device
+        scale and deleted, build.sort_by_code)."""
         cfg = self._cfg
         for _ in range(self._max_retries):
             with phase_timer("tree_build"):
-                td = _build_jit(pos, mass, cfg, self._box,
-                                near_sorted=near_sorted)
+                td = _build_jit(pos, mass, cfg, self._box)
             if not bool(td.overflow):
                 break
             cfg = cfg.with_(
@@ -234,7 +231,7 @@ class Tree:
             raise ValueError(f"positions shape {pos.shape} != "
                              f"{self._td.pos.shape}")
         _particles.raise_on_invalid(pos, self._td.mass, self._box)
-        self._rebuild(pos, self._td.mass, near_sorted=True)
+        self._rebuild(pos, self._td.mass)
 
     def update_positions_o(self, new_positions: Union[Callable, jnp.ndarray]):
         cur_o = self.positions_o
@@ -244,7 +241,7 @@ class Tree:
             raise ValueError("positions shape mismatch")
         pos_u = pos_o[jnp.asarray(self._orig_perm)]
         _particles.raise_on_invalid(pos_u, self._td.mass, self._box)
-        self._rebuild(pos_u, self._td.mass, near_sorted=True)
+        self._rebuild(pos_u, self._td.mass)
 
     def update_masses_u(self, new_masses: Union[Callable, jnp.ndarray]):
         """Replace masses (Morton order or callable); re-sorts/rebuilds to
@@ -254,7 +251,7 @@ class Tree:
         if m.shape != self._td.mass.shape:
             raise ValueError("masses shape mismatch")
         _particles.raise_on_invalid(self._td.pos, m, self._box)
-        self._rebuild(self._td.pos, m, near_sorted=True)
+        self._rebuild(self._td.pos, m)
 
     def update_masses_o(self, new_masses: Union[Callable, jnp.ndarray]):
         cur_o = self.masses_o
@@ -264,7 +261,7 @@ class Tree:
             raise ValueError("masses shape mismatch")
         m_u = m_o[jnp.asarray(self._orig_perm)]
         _particles.raise_on_invalid(self._td.pos, m_u, self._box)
-        self._rebuild(self._td.pos, m_u, near_sorted=True)
+        self._rebuild(self._td.pos, m_u)
 
     # --------------------------------------------------------- accessors
     @property
