@@ -44,27 +44,34 @@ def main():
 
     key = jax.random.PRNGKey(0)
     pos, mass = particles.plummer(key, n)
+    trav = os.environ.get("RAKAU_BENCH_TRAVERSAL", "shared")
+    if trav == "gwalk":
+        # gwalk caps are GLOBAL (config.py): start from measured
+        # per-particle ratios (262k/1M probes) and let the tuning pass
+        # shrink/grow them
+        gdef = dict(m2p=3 * n, leaf=n, src=16 * n, fcap=n // 4)
+    else:
+        gdef = dict(m2p=9728, leaf=5888, src=47104,
+                    fcap=65536 if trav == "lmac" else 1024)
     cfg = TreeConfig(
         max_depth=int(os.environ.get("RAKAU_BENCH_DEPTH", 14)),
         max_leaf_n=int(os.environ.get("RAKAU_BENCH_LEAF", 32)),
         ncrit=int(os.environ.get("RAKAU_BENCH_NCRIT", 512)),
         tile_chunk=int(os.environ.get("RAKAU_BENCH_CHUNK", 32)),
-        # defaults = the measured fitted caps of the 8M default run
-        # (aux "caps", r4): when the maxima fit first try, the growth
-        # loop and the fit re-jit both skip — two fewer cold compiles
-        # on the driver's fresh-container run
-        m2p_cap=int(os.environ.get("RAKAU_BENCH_M2P", 9728)),
-        p2p_leaf_cap=int(os.environ.get("RAKAU_BENCH_P2PLEAF", 5888)),
-        p2p_src_cap=int(os.environ.get("RAKAU_BENCH_P2PSRC", 47104)),
+        # shared defaults = the measured fitted caps of the 8M default
+        # run (aux "caps", r4): when the maxima fit first try, the
+        # growth loop and the fit re-jit both skip — two fewer cold
+        # compiles on the driver's fresh-container run
+        m2p_cap=int(os.environ.get("RAKAU_BENCH_M2P", gdef["m2p"])),
+        p2p_leaf_cap=int(os.environ.get("RAKAU_BENCH_P2PLEAF",
+                                        gdef["leaf"])),
+        p2p_src_cap=int(os.environ.get("RAKAU_BENCH_P2PSRC", gdef["src"])),
         # lmac reuses frontier_cap as the slice-level group-candidate
         # capacity (engine._slice_query_jit); needs ~node-table scale
-        frontier_cap=int(os.environ.get(
-            "RAKAU_BENCH_FCAP",
-            65536 if os.environ.get("RAKAU_BENCH_TRAVERSAL") == "lmac"
-            else 1024)),
+        frontier_cap=int(os.environ.get("RAKAU_BENCH_FCAP", gdef["fcap"])),
         farfield=os.environ.get("RAKAU_BENCH_FARFIELD", "grid"),
         accum=os.environ.get("RAKAU_BENCH_ACCUM", "fp32"),
-        traversal_mode=os.environ.get("RAKAU_BENCH_TRAVERSAL", "shared"),
+        traversal_mode=trav,
         local_order=int(os.environ.get("RAKAU_BENCH_ORDER", 3)),
         grid_sep=int(os.environ.get("RAKAU_BENCH_SEP", 3)),
         multipole_order=int(os.environ.get("RAKAU_BENCH_MPOLE", 0)),
@@ -88,6 +95,15 @@ def main():
     t0 = time.perf_counter()
     td = force(build_jit(pos, mass, cfg))
     build_cold = time.perf_counter() - t0
+    if cfg.traversal_mode == "gwalk" and not bool(td.overflow):
+        # fit tile_cap to the measured tile count: the static capacity
+        # formula's grid-clip term over-provisions, and every padded
+        # tile costs a kernel grid step + walk/pool slots in gwalk
+        tc = int(td.n_tiles)
+        fitted_tc = -(-int(tc * 1.1) // 256) * 256
+        if fitted_tc < cfg.tile_capacity(n):
+            cfg = cfg.with_(tile_cap=fitted_tc)
+            td = force(build_jit(pos, mass, cfg))
     t0 = time.perf_counter()
     td = force(build_jit(pos, mass, cfg))
     build_s = time.perf_counter() - t0
@@ -101,24 +117,27 @@ def main():
     ep = jnp.asarray(eps, cfg.jdtype)
     g = jnp.asarray(1.0, cfg.jdtype)
 
-    # Grow ONLY the overflowed capacities (ovf aligns with _OVF_FIELDS).
+    # Grow ONLY the overflowed capacities (ovf aligns with OVF_FIELDS).
     # Round 2's "26 s mystery" was this loop quadrupling EVERYTHING:
     # the shared source row blew past pallas.FUSED_VMEM_SRC_LIMIT and
     # dispatch fell back to the slow XLA kernel for the whole bench.
-    _OVF_FIELDS = ("m2p_cap", "p2p_leaf_cap", "p2p_src_cap",
-                   "frontier_cap")
+    from rakau_tpu.config import grow_overflowed
+    if cfg.traversal_mode == "gwalk":
+        # one tuning pass fits the global caps AND the per-round
+        # frontier caps (the unrolled walk's shapes; engine.tune_gwalk)
+        cfg = engine.tune_gwalk(td, cfg, th, ep, g)
     acc, pot, ovf, mx = force(query_jit(td, cfg, th, ep, g))
     for _ in range(6):
         flags = np.asarray(ovf)
         if not flags.any():
             break
-        cfg = cfg.with_(**{f: 2 * getattr(cfg, f)
-                           for f, hit in zip(_OVF_FIELDS, flags) if hit})
+        cfg = grow_overflowed(cfg, flags)
         acc, pot, ovf, mx = force(query_jit(td, cfg, th, ep, g))
 
     # --- shrink caps to measured maxima (padding waste is the main TPU
     # perf risk, SURVEY.md §8) and re-jit for the timed runs ---
-    if os.environ.get("RAKAU_BENCH_AUTOTUNE", "1") != "0":
+    if (os.environ.get("RAKAU_BENCH_AUTOTUNE", "1") != "0"
+            and cfg.traversal_mode != "gwalk"):
         from rakau_tpu.config import fit_caps
         cfg = fit_caps(cfg, np.asarray(mx))
         acc, pot, ovf, mx = force(query_jit(td, cfg, th, ep, g))

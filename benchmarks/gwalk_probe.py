@@ -2,10 +2,17 @@
 pool build, schedule, kernel, far field, and assembly as separate
 jitted stages on the live chip, then the fused engine call.
 
+Two phases: an untuned pass (dynamic while-loop walk) fits the global
+caps AND the per-round frontier caps (engine.tune_gwalk); the timed
+stages then run the production configuration (unrolled walk).
+
 Usage: python benchmarks/gwalk_probe.py [N] [--theta 0.75]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
@@ -20,9 +27,8 @@ def main():
     from rakau_tpu.config import TreeConfig
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
-    theta = 0.75
-    ncrit = 512
-    import os
+    theta = float(os.environ.get("GW_THETA", 0.75))
+    ncrit = int(os.environ.get("GW_NCRIT", 512))
     caps = dict(
         m2p_cap=int(os.environ.get("GW_M2P", 4 * n // 2)),
         p2p_leaf_cap=int(os.environ.get("GW_LEAF", n)),
@@ -32,7 +38,17 @@ def main():
     cfg = TreeConfig(max_depth=14, max_leaf_n=32, ncrit=ncrit,
                      tile_chunk=64, farfield=os.environ.get(
                          "GW_FF", "grid"),
-                     traversal_mode="gwalk", **caps)
+                     traversal_mode="gwalk",
+                     pool_block=int(os.environ.get("GW_BLOCK", 512)),
+                     pool_group=int(os.environ.get("GW_GROUP", 8)),
+                     multipole_order=int(os.environ.get("GW_MPOLE", 0)),
+                     local_order=int(os.environ.get("GW_ORDER", 3)),
+                     grid_sep=int(os.environ.get("GW_SEP", 3)),
+                     **caps)
+    if os.environ.get("GW_GRIDLEVEL"):
+        cfg = cfg.with_(grid_level=int(os.environ["GW_GRIDLEVEL"]))
+    if os.environ.get("GW_LEAF_N"):
+        cfg = cfg.with_(max_leaf_n=int(os.environ["GW_LEAF_N"]))
     pos, mass = particles.plummer(jax.random.PRNGKey(0), n)
     td = build.build_tree(np.asarray(pos), np.asarray(mass), cfg)
     if os.environ.get("GW_FIT_TILES", "1") == "1":
@@ -48,6 +64,14 @@ def main():
     ep = jnp.float32(0.0)
     g = jnp.float32(1.0)
 
+    # ---- tune: global caps + per-round frontier caps ----
+    t0 = time.perf_counter()
+    cfg = engine.tune_gwalk(td, cfg, th, ep, g)
+    print(f"tuned in {time.perf_counter()-t0:.1f}s: "
+          f"caps=({cfg.m2p_cap}, {cfg.p2p_leaf_cap}, {cfg.p2p_src_cap}, "
+          f"{cfg.frontier_cap}) rounds={cfg.gwalk_round_caps}",
+          flush=True)
+
     tiles, tables, Lgrid = engine._query_state(td, cfg, ep)
     (tpos, tidx, blo, bhi, tcell), gx = engine._split_tiles(tiles)
     nc, CH = tpos.shape[:2]
@@ -59,11 +83,9 @@ def main():
     bhi_f = bhi.reshape(G0, ndim)
     tcell_f = tcell.reshape(G0, ndim)
     tvalid = tidx_f[:, 0] < n
-    use_grid = cfg.farfield == "grid"
+    use_grid = cfg.farfield in ("grid", "grid2")
     kw = dict(tcell_lo=tcell_f, tcell_hi=tcell_f) if use_grid else {}
 
-    walk = jax.jit(partial(traversal4.build_global_incidences, cfg=cfg),
-                   static_argnames=())
     wf = jax.jit(lambda td, th: traversal4.build_global_incidences(
         td, cfg, th, blo_f, bhi_f, tile_valid=tvalid, **kw))
 
@@ -90,12 +112,14 @@ def main():
         pkw = dict(pcell=particle_cells(td.pos, td.box_size,
                                         cfg.max_depth, L0),
                    tcell_lo=tcell_f, tcell_hi=tcell_f,
-                   sep=_t2._grid_sep(cfg))
+                   sep=_t2._grid_sep(cfg), cell_bits=L0)
 
     pf = jax.jit(lambda td, gl: traversal4.build_pool(
-        td, gl, G0, block, cfg.p2p_src_cap, window_blocks=Wb, **pkw))
+        td, gl, G0, block, cfg.p2p_src_cap, window_blocks=Wb,
+        group=cfg.pool_group, **pkw))
     t_pool, pool = timeit(pf, td, gl)
     print(f"pool: {t_pool*1e3:.1f} ms  rows={int(pool.total_rows)} "
+          f"({int(pool.total_rows)/n:.1f}/ptcl, cap {cfg.p2p_src_cap}) "
           f"ovf={bool(pool.overflow)}", flush=True)
 
     NW = -(-cfg.p2p_src_cap // W)
@@ -134,12 +158,26 @@ def main():
     t_asm, _ = timeit(af, acc, pot)
     print(f"assembly: {t_asm*1e3:.1f} ms", flush=True)
 
-    t_all, _ = timeit(lambda: engine.acc_pot_u_host(td, cfg, th, ep, g),
-                      reps=3)
+    t_all, out = timeit(lambda: engine.acc_pot_u_host(td, cfg, th, ep, g),
+                        reps=3)
     print(f"full engine: {t_all*1e3:.1f} ms "
-          f"({n/t_all/1e6:.2f}M evals/s)", flush=True)
-    print(f"stage sum: {(t_walk+t_pool+t_kern+t_asm)*1e3:.1f} ms",
+          f"({n/t_all/1e6:.2f}M evals/s) ovf={np.asarray(out[2])}",
           flush=True)
+    print(f"stage sum: {(t_walk+t_pool+t_kern+t_asm)*1e3:.1f} ms  "
+          f"occupancy={n/(int(td.n_tiles)*ncrit):.2f}", flush=True)
+
+    if os.environ.get("GW_RMS", "1") == "1":
+        from rakau_tpu import native as _native
+        rng = np.random.default_rng(1)
+        samp = np.sort(rng.choice(n, min(512, n), replace=False))
+        acc_or, _ = _native.direct_acc_pot(
+            np.asarray(td.pos, np.float64), np.asarray(td.mass, np.float64),
+            eps=0.0, targets=samp)
+        acc_s = np.asarray(out[0])[samp]
+        num = np.linalg.norm(acc_s - acc_or, axis=1)
+        den = np.linalg.norm(acc_or, axis=1)
+        rms = float(np.sqrt(np.mean((num / np.maximum(den, 1e-30)) ** 2)))
+        print(f"rms rel force err (512 sampled): {rms:.3e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -325,10 +325,16 @@ def build_tree(pos, mass, cfg: TreeConfig, box_size=None) -> TreeData:
     if cfg.farfield == "grid":
         from .grid import effective_grid_level
         L0 = effective_grid_level(cfg, n)
-        if L0 > 0:
-            # clip tile runs at leaf-grid cell boundaries (tiles must sit
-            # inside one grid cell for exact stencil-coverage drops)
-            head_g = head_g | (cpl < L0)
+    elif cfg.farfield == "grid2" and cfg.traversal_mode == "gwalk":
+        # gwalk has no per-pair kernel coverage mask; single-cell tiles
+        # make the pool-row coverage drop exact per pair (engine.
+        # _gwalk_impl), so clip tiles exactly like farfield="grid"
+        from .grid2 import effective_grid_level as _g2lvl
+        L0 = _g2lvl(cfg, n)
+    if L0 > 0:
+        # clip tile runs at leaf-grid cell boundaries (tiles must sit
+        # inside one grid cell for exact stencil-coverage drops)
+        head_g = head_g | (cpl < L0)
     seg_begin = jax.lax.cummax(jnp.where(head_g, pidx, 0))
     pos_in = pidx - seg_begin
     head_t = head_g | (pos_in % cfg.ncrit == 0)

@@ -114,6 +114,11 @@ class TreeConfig:
     # resident window rows (no tile's segment may straddle a window).
     pool_block: int = 512
     pool_window: int = 262144
+    # Tiles evaluated per pool-kernel grid step (they share one VMEM
+    # window; per-step overhead measured ~40 us on v5e, so one step per
+    # tile made the 262k kernel launch 2.3x slower than its pair work).
+    # Window packing keeps whole GROUPS inside one window.
+    pool_group: int = 8
     # gwalk per-round frontier capacities (static tuple): when set, the
     # global walk unrolls with each round's shapes matched to its real
     # frontier instead of paying frontier_cap*2^D every round. Fit from
@@ -149,16 +154,19 @@ class TreeConfig:
             raise ValueError(
                 "traversal_mode must be shared|lists|lmac|gwalk")
         if self.traversal_mode == "gwalk":
-            if self.farfield not in ("m2p", "grid"):
+            if self.farfield not in ("m2p", "grid", "grid2"):
                 raise ValueError(
-                    "traversal_mode='gwalk' supports farfield='m2p' or "
-                    "'grid' (grid2's per-pair coverage masks are not "
-                    "wired into the pool kernel; use 'shared'/'lmac')")
+                    "traversal_mode='gwalk' supports farfield='m2p', "
+                    "'grid' or 'grid2' (tiles are clipped at leaf-grid "
+                    "cells in the grid modes so pool-row coverage tests "
+                    "are exact per pair)")
             if (self.pool_block < 128
                     or self.pool_window % self.pool_block):
                 raise ValueError(
                     "pool_window must be a multiple of pool_block "
                     "(>= 128)")
+            if self.pool_group < 1:
+                raise ValueError("pool_group must be >= 1")
         # --- product-mode matrix (r3 verdict item: dead combos raise) ---
         # Product engines: traversal "shared" with farfield
         # grid|grid2|m2p (headline theta-envelope configs) and "lmac"
@@ -183,11 +191,11 @@ class TreeConfig:
         if self.farfield not in ("local", "m2p", "grid", "grid2"):
             raise ValueError("farfield must be local|m2p|grid|grid2")
         if self.farfield == "grid2":
-            if self.traversal_mode not in ("shared", "lmac"):
+            if self.traversal_mode not in ("shared", "lmac", "gwalk"):
                 raise ValueError(
-                    "farfield='grid2' requires traversal_mode='shared' "
-                    "or 'lmac' (the coverage drops and per-pair kernel "
-                    "masks live there)")
+                    "farfield='grid2' requires traversal_mode='shared', "
+                    "'lmac' (per-pair kernel coverage masks) or 'gwalk' "
+                    "(cell-clipped tiles + pool-row coverage drops)")
             if not (2 <= self.local_order <= 8):
                 raise ValueError("grid2 local_order must be in [2, 8]")
             gq = self.grid_multipole_order
@@ -239,16 +247,36 @@ class TreeConfig:
         # (walk + kernel) pass in a chunk, so keep this snug and rely on
         # the overflow-retry to grow it for pathological distributions.
         cap = 2 * (-(-n_particles // self.ncrit)) + 64
+        L0 = 0
         if self.farfield == "grid":
-            # grid mode clips tiles at leaf-grid cell boundaries: up to
-            # one extra tile per occupied cell.
             from .grid import effective_grid_level
             L0 = effective_grid_level(self, n_particles)
+        elif self.farfield == "grid2" and self.traversal_mode == "gwalk":
+            # gwalk clips tiles at grid2 cells too (build.py) — without
+            # this term the 227-tile/cap-192 truncation silently zeroed
+            # the near field of the dropped tiles (r5 grid2 bug)
+            from .grid2 import effective_grid_level
+            L0 = effective_grid_level(self, n_particles)
+        if L0 > 0:
+            # cell clipping adds up to one extra tile per occupied cell
             cap += min((1 << L0) ** self.ndim, n_particles)
         return cap
 
     def with_(self, **kw) -> "TreeConfig":
         return dataclasses.replace(self, **kw)
+
+
+# Canonical order of the growable interaction-list capacities: the [4]
+# overflow-flag / maxima vectors of engine.acc_pot_u(_host) align with
+# this (bench.py, tune_caps, tune_gwalk and the retry drivers all grow
+# caps through it — hand-rolled copies drifted twice, VERDICT r1/r2).
+OVF_FIELDS = ("m2p_cap", "p2p_leaf_cap", "p2p_src_cap", "frontier_cap")
+
+
+def grow_overflowed(cfg: TreeConfig, flags) -> TreeConfig:
+    """Double exactly the capacities whose overflow flag is set."""
+    return cfg.with_(**{f: 2 * getattr(cfg, f)
+                        for f, hit in zip(OVF_FIELDS, flags) if hit})
 
 
 def fit_caps(cfg: TreeConfig, maxima, slack: float = 1.25,

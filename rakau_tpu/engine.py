@@ -89,7 +89,9 @@ def _gather_tiles(td: TreeData, cfg: TreeConfig):
            tlo.reshape(shape + (ndim,)),
            thi.reshape(shape + (ndim,)),
            tcell.reshape(shape + (ndim,)))
-    if cfg.farfield == "grid2":
+    if cfg.farfield == "grid2" and cfg.traversal_mode != "gwalk":
+        # gwalk needs no per-target cell planes: its tiles are cell-
+        # clipped (build.py) so td.tile_cell already carries the test
         from . import grid2
         L0 = grid2.effective_grid_level(cfg, n)
         pcells = grid2.particle_cells(td.pos, td.box_size,
@@ -291,7 +293,13 @@ def _gwalk_impl(td: TreeData, cfg: TreeConfig, theta, eps, G, tiles,
     gamma >= 1e9 configuration the 8M headline already uses).
 
     Returns (acc_u, pot_u, ovf[4], maxima[4]) in the standard cap
-    order; in gwalk mode the caps have global meaning (config.py)."""
+    order; in gwalk mode the caps have global meaning (config.py).
+
+    farfield='grid2': tiles are cell-clipped at grid2's L0 (build.py),
+    so the walk drop and pool-row psep filter are exactly the per-pair
+    coverage tests of the chunk engines; the conv-M2L pyramid far field
+    itself (grid2.far_field) is added by the CALLER once per query
+    (acc_pot_u / acc_pot_u_host), mirroring the chunked path."""
     from . import traversal4
     from .kernels import dispatch
     n, ndim = td.pos.shape
@@ -307,7 +315,7 @@ def _gwalk_impl(td: TreeData, cfg: TreeConfig, theta, eps, G, tiles,
     tcell_f = tcell.reshape(G0, ndim)
     tvalid = tidx_f[:, 0] < n
 
-    use_grid = cfg.farfield == "grid"
+    use_grid = cfg.farfield in ("grid", "grid2")
     kw = {}
     if use_grid:
         kw = dict(tcell_lo=tcell_f, tcell_hi=tcell_f)
@@ -317,7 +325,10 @@ def _gwalk_impl(td: TreeData, cfg: TreeConfig, theta, eps, G, tiles,
     block = cfg.pool_block
     W = cfg.pool_window
     Wb = W // block
-    pool_cap = cfg.p2p_src_cap
+    # whole-window pool: the kernel views the pool as [NW, Wb, block]
+    # planes, so building it window-multiple avoids a full pad-copy of
+    # every plane per query
+    pool_cap = -(-cfg.p2p_src_cap // W) * W
     pkw = {}
     if use_grid:
         from . import traversal2 as _t2
@@ -327,28 +338,19 @@ def _gwalk_impl(td: TreeData, cfg: TreeConfig, theta, eps, G, tiles,
             pkw = dict(pcell=particle_cells(td.pos, td.box_size,
                                             cfg.max_depth, L0),
                        tcell_lo=tcell_f, tcell_hi=tcell_f,
-                       sep=_t2._grid_sep(cfg))
+                       sep=_t2._grid_sep(cfg), cell_bits=L0)
     from .build import _quad_dim
     qd = _quad_dim(ndim) if cfg.multipole_order >= 2 else 0
     pool = traversal4.build_pool(td, gl, G0, block, pool_cap,
-                                 window_blocks=Wb, quad_dim=qd, **pkw)
+                                 window_blocks=Wb, quad_dim=qd,
+                                 group=cfg.pool_group, **pkw)
 
-    # pad the pool to whole windows; derive the per-tile schedule
-    NW = -(-pool_cap // W)
-    sentinel = jnp.asarray(4.0, dtype) * td.box_size
-    ppos = jnp.concatenate(
-        [pool.pos[:pool_cap],
-         jnp.full((NW * W - pool_cap, ndim), sentinel, dtype)], axis=0)
-    pmass = jnp.concatenate(
-        [pool.mass[:pool_cap], jnp.zeros(NW * W - pool_cap, dtype)])
-    pidx = jnp.concatenate(
-        [pool.idx[:pool_cap],
-         jnp.full(NW * W - pool_cap, -1, I32)], axis=0)
-    pquad = None
-    if qd:
-        pquad = jnp.concatenate(
-            [pool.quad[:pool_cap],
-             jnp.zeros((NW * W - pool_cap, qd), dtype)], axis=0)
+    # the pool is already window-multiple; derive the per-tile schedule
+    NW = pool_cap // W
+    ppos = pool.pos[:pool_cap]
+    pmass = pool.mass[:pool_cap]
+    pidx = pool.idx[:pool_cap]
+    pquad = pool.quad[:pool_cap] if qd else None
     # overflow-safe clamps (an overflowed pool flags + retries; the
     # clamped schedule just keeps the kernel's reads in bounds)
     win = jnp.clip(pool.m2p_blk // Wb, 0, NW - 1)
@@ -407,6 +409,11 @@ def acc_pot_u(td: TreeData, cfg: TreeConfig, theta, eps, G=1.0,
         Lgrid = _grid_farfield(td, cfg, eps)
         acc_u, pot_u, ovf, mx, _rc = _gwalk_impl(td, cfg, theta, eps, G,
                                                  tiles, Lgrid, mode=mode)
+        if cfg.farfield == "grid2":
+            from . import grid2
+            acc_f, pot_f = grid2.far_field(td, cfg, eps, G)
+            acc_u = acc_u + acc_f
+            pot_u = pot_u + pot_f
         if with_stats:
             return acc_u, pot_u, ovf, mx
         return acc_u, pot_u, ovf
@@ -664,6 +671,13 @@ def tune_gwalk(td, cfg: TreeConfig, theta, eps, G=1.0,
         flags = np.asarray(ovf)
         if not flags.any():
             break
+        if flags[2] and int(mx[1]) <= cfg_dyn.p2p_src_cap:
+            # pool flag with rows under cap = a GROUP straddled the
+            # window (build_pool win_ovf): the fix is a wider window,
+            # not more pool rows
+            cfg_dyn = cfg_dyn.with_(pool_window=2 * cfg_dyn.pool_window)
+            flags = flags.copy()
+            flags[2] = False
         cfg_dyn = cfg_dyn.with_(**{f: 2 * getattr(cfg_dyn, f)
                                    for f, hit in zip(_OVF, flags)
                                    if hit})
@@ -716,8 +730,13 @@ def acc_pot_u_host(td, cfg: TreeConfig, theta, eps, G=1.0,
     if cfg.traversal_mode == "gwalk":
         # one executable: walk + pool + single kernel launch (well under
         # the ~60 s dispatch watchdog — the whole 8M query is seconds)
-        return _gwalk_jit(td, cfg, theta, eps, G, tiles, Lgrid,
-                          mode=mode)[:4]
+        acc_u, pot_u, ovf, mx = _gwalk_jit(td, cfg, theta, eps, G,
+                                           tiles, Lgrid, mode=mode)[:4]
+        if cfg.farfield == "grid2":
+            acc_f, pot_f = _far_jit(td, cfg, eps, G)
+            acc_u = acc_u + acc_f
+            pot_u = pot_u + pot_f
+        return acc_u, pot_u, ovf, mx
     n_chunks = tiles[0].shape[0]
     CH = tiles[0].shape[1]
     # Only slices containing real tiles need processing (tile capacity

@@ -667,13 +667,27 @@ def l2p_particles(Lleaf, cells, pos, box_size, L0: int, G_grav, p: int):
 # ------------------------------------------------------------ top level
 def effective_grid_level(cfg, n: int) -> int:
     """Leaf-grid level for grid2: occupancy-targeted, memory-capped,
-    decoupled from ncrit."""
+    decoupled from ncrit.
+
+    gwalk exception: gwalk clips target tiles at leaf-grid cells (its
+    pool-row coverage drop needs single-cell tiles), so the auto level
+    tracks tile size (~n/ncrit cells) like farfield='grid' — a deep
+    occupancy-32 grid would shatter every ncrit-tile into ~32-particle
+    fragments. grid2's cell-normalized far field is scale-free, so the
+    accuracy rungs (order, sep) are unchanged by the coarser level; set
+    grid_level explicitly to override."""
     if cfg.grid_level is not None:
         return cfg.grid_level
+    cap = {1: 21, 2: 10, 3: 7}[cfg.ndim]   # <= ~2M cells
+    if cfg.traversal_mode == "gwalk":
+        if n <= cfg.ncrit:
+            return 0
+        l0 = int(math.floor(math.log(max(n / cfg.ncrit, 1.0),
+                                     2 ** cfg.ndim)))
+        return max(0, min(l0, cap, cfg.max_depth))
     if n <= max(cfg.grid_occupancy, 1):
         return 0
     l0 = int(round(math.log(n / max(cfg.grid_occupancy, 1), 2 ** cfg.ndim)))
-    cap = {1: 21, 2: 10, 3: 7}[cfg.ndim]   # <= ~2M cells
     return max(0, min(l0, cap, cfg.max_depth))
 
 

@@ -161,7 +161,7 @@ def eval_pool(cfg: TreeConfig, tgt_pos, tgt_idx, pool_pos, pool_mass,
         return pk.eval_pool(tgt_pos, tgt_idx, pool_pos, pool_mass,
                             pool_idx, sched, window, eps, G, block,
                             compensated=comp, mode=mode,
-                            pool_quad=pool_quad)
+                            pool_quad=pool_quad, group=cfg.pool_group)
     return xla.eval_pool(tgt_pos, tgt_idx, pool_pos, pool_mass,
                          pool_idx, sched, window, eps, G, block,
                          compensated=comp, mode=mode,

@@ -963,7 +963,7 @@ def eval_shared_fused(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
 
 
 def _pool_kernel(sched_ref, eps2_ref, *refs, ndim, block, compensated,
-                 mode, quad):
+                 mode, quad, group=1):
     """gwalk pool kernel: grid (G,) — one step per target tile, fed by
     the block-aligned per-tile source pool (traversal4.build_pool).
 
@@ -994,19 +994,23 @@ def _pool_kernel(sched_ref, eps2_ref, *refs, ndim, block, compensated,
     out_refs = refs[n_t + ndim + 2 + quad:]
     eps2 = eps2_ref[0]
 
-    T = tgt_refs[0].shape[1]
-    tcols = [r[0] for r in tgt_refs]                    # (T, 1)
-    ti = ti_ref[0]                                      # (T, 1) i32
+    # `group` tiles share this grid step (and its VMEM window fetch):
+    # target blocks are (1, group*T, 1); tile i's rows are the static
+    # slice [i*T, (i+1)*T) and its schedule row is g*group + i.
+    T = tgt_refs[0].shape[1] // group
 
-    def make_body(start, with_quad):
+    def make_body(start, with_quad, tcols, ti):
         def body(k, carry):
             accs, pot, comp = carry
-            off = pl.multiple_of((start + k) * block, block)
-            srows = [src_refs[d][0, :, pl.ds(off, block)]
+            # window planes are (1, Wb, block): dynamic SUBLANE index
+            # (cheap on Mosaic) instead of a dynamic lane slice of a
+            # (1, 1, W) plane (measured 3x slower at 262k)
+            off = start + k
+            srows = [src_refs[d][0, pl.ds(off, 1), :]
                      for d in range(ndim)]              # (1, B)
-            m = src_refs[ndim][0, :, pl.ds(off, block)]
-            si = src_refs[ndim + 1][0, :, pl.ds(off, block)]
-            qrows = ([r[0, :, pl.ds(off, block)] for r in sq_refs]
+            m = src_refs[ndim][0, pl.ds(off, 1), :]
+            si = src_refs[ndim + 1][0, pl.ds(off, 1), :]
+            qrows = ([r[0, pl.ds(off, 1), :] for r in sq_refs]
                      if with_quad else [])
             dxs = []
             r2 = None
@@ -1085,82 +1089,113 @@ def _pool_kernel(sched_ref, eps2_ref, *refs, ndim, block, compensated,
             return accs, pot, comp
         return body
 
-    acc0 = [jnp.zeros((T, 1), jnp.float32) for _ in range(ndim)]
-    pot0 = jnp.zeros((T, 1), jnp.float32)
-    comp0 = [jnp.zeros((T, 1), jnp.float32) for _ in range(ndim + 1)]
-    carry = (acc0, pot0, comp0)
-    start = sched_ref[g, 1]
-    if quad:
-        # node segment with quadrupole math, then particle segment mono
-        carry = jax.lax.fori_loop(0, sched_ref[g, 2],
-                                  make_body(start, True), carry)
-        carry = jax.lax.fori_loop(0, sched_ref[g, 3],
-                                  make_body(start + sched_ref[g, 2],
-                                            False), carry)
-    else:
-        carry = jax.lax.fori_loop(0, sched_ref[g, 2] + sched_ref[g, 3],
-                                  make_body(start, False), carry)
-    accs, pot, comp = carry
-    for d in range(ndim):
-        out_refs[d][0] = accs[d] + comp[d] if compensated else accs[d]
-    out_refs[ndim][0] = pot + comp[ndim] if compensated else pot
+    for i in range(group):
+        tcols = [r[0, i * T:(i + 1) * T] for r in tgt_refs]  # (T, 1)
+        ti = ti_ref[0, i * T:(i + 1) * T]                    # (T, 1) i32
+        acc0 = [jnp.zeros((T, 1), jnp.float32) for _ in range(ndim)]
+        pot0 = jnp.zeros((T, 1), jnp.float32)
+        comp0 = [jnp.zeros((T, 1), jnp.float32) for _ in range(ndim + 1)]
+        carry = (acc0, pot0, comp0)
+        row = g * group + i
+        start = sched_ref[row, 1]
+        if quad:
+            # node segment with quadrupole math, then particle segment
+            # monopole
+            carry = jax.lax.fori_loop(0, sched_ref[row, 2],
+                                      make_body(start, True, tcols, ti),
+                                      carry)
+            carry = jax.lax.fori_loop(0, sched_ref[row, 3],
+                                      make_body(start + sched_ref[row, 2],
+                                                False, tcols, ti), carry)
+        else:
+            carry = jax.lax.fori_loop(0, sched_ref[row, 2]
+                                      + sched_ref[row, 3],
+                                      make_body(start, False, tcols, ti),
+                                      carry)
+        accs, pot, comp = carry
+        for d in range(ndim):
+            out_refs[d][0, i * T:(i + 1) * T] = (
+                accs[d] + comp[d] if compensated else accs[d])
+        out_refs[ndim][0, i * T:(i + 1) * T] = (
+            pot + comp[ndim] if compensated else pot)
 
 
 def eval_pool(tgt_pos, tgt_idx, pool_pos, pool_mass, pool_idx, sched,
               window: int, eps, G, block: int, compensated: bool = False,
               mode: str = "both", pool_quad=None,
-              interpret: bool = False):
+              interpret: bool = False, group: int = 1):
     """gwalk pool evaluation (see _pool_kernel).
 
     tgt_pos [G, T, D] / tgt_idx [G, T]; pool planes [P] rows with P a
     multiple of `window` (block-aligned per-tile segments packed so no
     tile straddles a window, traversal4.build_pool(window_blocks=...));
     sched [G, 4] int32 (window id, local start block, m2p blocks,
-    p2p blocks). One pallas launch for the whole query's near field."""
+    p2p blocks). One pallas launch for the whole query's near field.
+
+    group: tiles per grid step (all sharing one VMEM window — the pool
+    must have been packed with the same group, so every group's rows
+    sit inside one window). Grid-step overhead measured ~40 us/step on
+    v5e; group=8 cuts it 8x."""
     Gt, T, D = tgt_pos.shape
     P = pool_pos.shape[0]
     assert P % window == 0 and window % block == 0
     NW = P // window
+    if Gt % group:
+        pad = group - Gt % group
+        tgt_pos = jnp.concatenate(
+            [tgt_pos, jnp.full((pad, T, D), 1e30, tgt_pos.dtype)], 0)
+        tgt_idx = jnp.concatenate(
+            [tgt_idx, jnp.full((pad, T), -2, tgt_idx.dtype)], 0)
+        sched = jnp.concatenate(
+            [sched, jnp.zeros((pad, 4), sched.dtype)], 0)
+    Gp = tgt_pos.shape[0]
+    NG = Gp // group
+    GT = group * T
 
     eps2 = jnp.asarray([jnp.asarray(eps, jnp.float32) ** 2], jnp.float32)
-    tgt_planes = [tgt_pos[:, :, d:d + 1] for d in range(D)]
-    tgt_planes.append(tgt_idx[:, :, None])
-    win_planes = [pool_pos[:, d].reshape(NW, 1, window) for d in range(D)]
-    win_planes.append(pool_mass.reshape(NW, 1, window))
-    win_planes.append(pool_idx.reshape(NW, 1, window))
+    tgt_planes = [tgt_pos[:, :, d].reshape(NG, GT, 1) for d in range(D)]
+    tgt_planes.append(tgt_idx.reshape(NG, GT, 1))
+    wb = window // block
+    win_planes = [pool_pos[:, d].reshape(NW, wb, block) for d in range(D)]
+    win_planes.append(pool_mass.reshape(NW, wb, block))
+    win_planes.append(pool_idx.reshape(NW, wb, block))
     qdim = 0
     if pool_quad is not None:
         qdim = pool_quad.shape[1]
-        win_planes += [pool_quad[:, i].reshape(NW, 1, window)
+        win_planes += [pool_quad[:, i].reshape(NW, wb, block)
                        for i in range(qdim)]
 
     def tspec():
-        return pl.BlockSpec((1, T, 1), lambda g, s, e: (g, 0, 0))
+        return pl.BlockSpec((1, GT, 1), lambda g, s, e: (g, 0, 0))
 
     def wspec():
-        return pl.BlockSpec((1, 1, window), lambda g, s, e: (s[g, 0], 0, 0))
+        # every tile of the group shares the first tile's window (the
+        # group-granular packing guarantees containment)
+        return pl.BlockSpec((1, wb, block),
+                            lambda g, s, e: (s[g * group, 0], 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(Gt,),
+        grid=(NG,),
         in_specs=([tspec() for _ in tgt_planes]
                   + [wspec() for _ in win_planes]),
         out_specs=[tspec() for _ in range(D + 1)],
     )
     kernel = functools.partial(_pool_kernel, ndim=D, block=block,
                                compensated=compensated, mode=mode,
-                               quad=qdim)
+                               quad=qdim, group=group)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((Gt, T, 1), jnp.float32)
+        out_shape=[jax.ShapeDtypeStruct((NG, GT, 1), jnp.float32)
                    for _ in range(D + 1)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=fused_vmem_budget()),
     )(sched, eps2, *tgt_planes, *win_planes)
-    acc = jnp.concatenate(outs[:D], axis=2)
-    pot = outs[D][:, :, 0]
+    acc = jnp.concatenate([o.reshape(Gp, T, 1)[:Gt] for o in outs[:D]],
+                          axis=2)
+    pot = outs[D].reshape(Gp, T)[:Gt]
     G = jnp.asarray(G, tgt_pos.dtype)
     return G * acc, G * pot
 

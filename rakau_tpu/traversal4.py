@@ -98,8 +98,12 @@ def build_global_incidences(td: TreeData, cfg: TreeConfig, theta,
     k8 = 2 ** D
     R = cfg.max_depth + 1
 
-    # per-node packed row (like traversal2.make_tables but local: com,
-    # mass, size, lvl|leaf, cellpack, delta)
+    # Per-node and per-tile PACKED row tables: classify runs on [K]
+    # pair batches and every operand it needs rides ONE row gather per
+    # side (row gathers cost ~10 ns/row vs ~8 separate element gathers
+    # at ~8 ns each — the packed tables took the 262k walk from 190 ms
+    # to the pair-work floor; r5 attribution). Int columns are bitcast
+    # into the f32 planes.
     size = td.box_size * jnp.exp2(-td.node_level.astype(dtype))
     sh = jnp.maximum(td.node_level - L0, 0)
     cpack = jnp.zeros(M, I32)
@@ -110,31 +114,57 @@ def build_global_incidences(td: TreeData, cfg: TreeConfig, theta,
              else jnp.zeros(M, dtype))
     lvl_leaf = td.node_level + 64 * td.node_is_leaf.astype(I32)
 
+    # Int columns are stored as exact float VALUES, not bitcasts: the
+    # packed ints are all < 2^24 (lvl|leaf <= 127; cellpack <= 2^(D*L0)
+    # <= 2^21; cells <= 2^L0), and raw int32 bit patterns bitcast into
+    # f32 planes are DENORMALS that the TPU flushes to zero inside the
+    # fused gather (measured: every lvl read back 0 -> no node with
+    # lvl >= L0 ever accepted -> the walk died in 4 rounds).
+    def _f(x):
+        return x.astype(jnp.float32)
+
+    # ntab [M, 8]: com(D), mass, size, delta, lvl|leaf, cellpack
+    ntab = jnp.concatenate(
+        [td.node_com, td.node_mass[:, None], size[:, None],
+         delta[:, None], _f(lvl_leaf)[:, None], _f(cpack)[:, None]],
+        axis=1)
+    # ttab [G, 4 + 2D(+2D grid)]: box lo(D), hi(D), cell lo(D), hi(D)
+    tcols = [box_lo, box_hi]
+    if use_grid:
+        tcols += [_f(tcell_lo), _f(tcell_hi)]
+    ttab = jnp.concatenate(tcols, axis=1)
+
+    def _i(col):
+        return col.astype(I32)
+
     def classify(tiles, nodes, pvalid):
         """[K] pairs -> (accept, open_leaf, open_internal) bools."""
         nid = jnp.where(pvalid, nodes, 0)
         tid = jnp.where(pvalid, tiles, 0)
-        com = td.node_com[nid]                          # [K, D]
-        mass = td.node_mass[nid]
-        lo = box_lo[tid]
-        hi = box_hi[tid]
+        nrow = ntab[nid]                                # [K, 8]
+        trow = ttab[tid]                                # [K, >=2D]
+        com = nrow[:, :D]
+        mass = nrow[:, D]
+        lo = trow[:, :D]
+        hi = trow[:, D:2 * D]
         d = jnp.maximum(jnp.maximum(lo - com, com - hi), 0.0)
         d2 = jnp.sum(d * d, axis=-1)
-        thresh = size[nid] * theta_inv + (delta[nid] if bh_geom else 0.0)
+        thresh = nrow[:, D + 1] * theta_inv + (nrow[:, D + 2]
+                                               if bh_geom else 0.0)
         acc = d2 > thresh * thresh
-        ll = lvl_leaf[nid]
+        ll = _i(nrow[:, D + 3])
         lvl = ll & 63
         leaf = ll >= 64
         use = pvalid & (mass > 0)
         if use_grid:
             sh_t = jnp.maximum(L0 - lvl, 0)
             fmask = (1 << L0) - 1
-            cp = cpack[nid]
+            cp = _i(nrow[:, D + 4])
             sep = None
             for dd in range(D):
                 nc = (cp >> (dd * L0)) & fmask
-                tl = tcell_lo[tid, dd] >> sh_t
-                th = tcell_hi[tid, dd] >> sh_t
+                tl = _i(trow[:, 2 * D + dd]) >> sh_t
+                th = _i(trow[:, 3 * D + dd]) >> sh_t
                 sd = jnp.maximum(jnp.maximum(nc - th, tl - nc), 0)
                 sep = sd if sep is None else jnp.maximum(sep, sd)
             use = use & (sep < S_sep)                   # covered -> drop
@@ -156,12 +186,15 @@ def build_global_incidences(td: TreeData, cfg: TreeConfig, theta,
                                   mode="drop")
         return buf_t, buf_n, off + cnt
 
+    ctab = jnp.stack([td.node_child_begin, td.node_child_count], axis=1)
+
     def expand_round(ft, fn, fc, in_cap, mt, mn, m_off, lt, ln, l_off):
         """Expand a [in_cap] frontier to children, classify, emit."""
         fvalid = jnp.arange(in_cap, dtype=I32) < fc
         nid = jnp.where(fvalid, fn, 0)
-        cb = td.node_child_begin[nid]
-        cc = td.node_child_count[nid]
+        crow = ctab[nid]                                # [F, 2]
+        cb = crow[:, 0]
+        cc = crow[:, 1]
         # expansion: [in_cap * k8] child pairs, tile-major preserved
         kids = (cb[:, None] + jnp.arange(k8, dtype=I32)).reshape(-1)
         ktile = jnp.repeat(ft, k8)
@@ -267,12 +300,12 @@ def build_global_incidences(td: TreeData, cfg: TreeConfig, theta,
 
     # tile-major segments: per-round emissions are tile-sorted but the
     # concatenation is round-major — one stable sort by tile finishes it
+    # (key and payload come out of the SAME sort; a second jnp.sort of
+    # the key was pure waste)
     mkey = jnp.where(jnp.arange(MCAP + 1) < m_off, mt, G)[:MCAP]
-    _, mn_s = jax.lax.sort((mkey, mn[:MCAP]), num_keys=1)
-    mt_s = jnp.sort(mkey)
+    mt_s, mn_s = jax.lax.sort((mkey, mn[:MCAP]), num_keys=1)
     lkey = jnp.where(jnp.arange(LCAP + 1) < l_off, lt, G)[:LCAP]
-    _, ln_s = jax.lax.sort((lkey, ln[:LCAP]), num_keys=1)
-    lt_s = jnp.sort(lkey)
+    lt_s, ln_s = jax.lax.sort((lkey, ln[:LCAP]), num_keys=1)
 
     ovf = jnp.stack([m_off > MCAP, l_off > LCAP,
                      jnp.zeros((), bool), f_ovf])
@@ -321,7 +354,8 @@ class GlobalPool(NamedTuple):
 def build_pool(td: TreeData, gl: GlobalLists, G: int, block: int,
                pool_cap: int, sentinel=None, window_blocks: int = 0,
                pcell=None, tcell_lo=None, tcell_hi=None, sep: int = 0,
-               quad_dim: int = 0) -> GlobalPool:
+               quad_dim: int = 0, cell_bits: int = 0,
+               group: int = 1) -> GlobalPool:
     """Materialize the block-aligned source pool from tile-sorted
     incidence lists (jittable; G, block, pool_cap static).
 
@@ -343,7 +377,11 @@ def build_pool(td: TreeData, gl: GlobalLists, G: int, block: int,
     opened leaves would double-count covered matter).
 
     quad_dim > 0 (multipole_order=2): node rows carry td.node_quad in
-    a [P, quad_dim] plane set (particle rows zero)."""
+    a [P, quad_dim] plane set (particle rows zero).
+
+    cell_bits: bits per dimension of the leaf-grid cell coordinates
+    (= L0; required when sep > 0 — cells are bit-packed into single
+    int32 columns of the row tables)."""
     dtype = td.pos.dtype
     n = td.pos.shape[0]
     D = td.pos.shape[1]
@@ -378,23 +416,33 @@ def build_pool(td: TreeData, gl: GlobalLists, G: int, block: int,
     if window_blocks:
         # Scan-free window packing: pack the plain cumsum offsets into
         # VIRTUAL windows of wb' = wb - TBmax blocks and place virtual
-        # window v at physical offset v*wb. A tile starting inside its
+        # window v at physical offset v*wb. A GROUP starting inside its
         # virtual window extends at most TBmax blocks past its end, so
-        # its physical run ends <= wb — no tile straddles a physical
+        # its physical run ends <= wb — no group straddles a physical
         # window and no sequential scan is needed (the r5 greedy
         # lax.scan cost ~G scalar steps per query). Waste is bounded by
-        # TBmax/wb (25%) of pool rows. Tiles wider than TBmax flag
+        # TBmax/wb (25%) of pool rows. Groups wider than TBmax flag
         # overflow (raise pool_window), never truncate.
+        #
+        # Packing is GROUP-granular (`group` consecutive tiles): the
+        # pool kernel evaluates a whole group per grid step against one
+        # VMEM-resident window, so all of a group's segments must share
+        # that window (kernels/pallas._pool_kernel).
         wb = window_blocks
         tbmax = max(1, wb // 4)
         wbp = wb - tbmax
-        win_ovf = jnp.any(tile_blocks > tbmax)
+        gp = max(1, int(group))
+        NGp = -(-G // gp)
+        tb_g = jnp.pad(tile_blocks, (0, NGp * gp - G)).reshape(NGp, gp)
+        within = jnp.cumsum(tb_g, axis=1) - tb_g       # excl prefix
+        gb = jnp.sum(tb_g, axis=1)                     # [NG] group blocks
+        win_ovf = jnp.any(gb > tbmax)
         off = jnp.concatenate([jnp.zeros(1, I32),
-                               jnp.cumsum(tile_blocks)])   # [G+1] excl
+                               jnp.cumsum(gb)])        # [NG+1] excl
         v = off[:-1] // wbp
-        m2p_blk = v * wb + (off[:-1] - v * wbp)
-        end = jnp.where(G > 0,
-                        m2p_blk[G - 1] + tile_blocks[G - 1],
+        g_start = v * wb + (off[:-1] - v * wbp)        # [NG]
+        m2p_blk = (g_start[:, None] + within).reshape(-1)[:G]
+        end = jnp.where(G > 0, g_start[NGp - 1] + gb[NGp - 1],
                         jnp.zeros((), I32))
     else:
         blk_off = jnp.concatenate([jnp.zeros(1, I32),
@@ -428,12 +476,41 @@ def build_pool(td: TreeData, gl: GlobalLists, G: int, block: int,
 
     # ---- expand leaf incidences to particle rows ----
     # leaf incidence j (tile t) starts at p2p_blk[t]*B + (lcum[j] -
-    # lcum[first leaf of t]); its particles are node_begin..end
+    # lcum[first leaf of t]); its particles are node_begin..end.
+    # Everything a pool row needs rides TWO row gathers: a per-leaf-
+    # incidence int table (start, size, node_begin, owning tile's
+    # packed cell range) and a per-particle table (pos, mass, packed
+    # cell) — vs the 8 separate [P]-space element gathers of the first
+    # cut (the 262k pool build measured 737 ms; row-gather packing is
+    # the same ~15 ns/row a single gather costs).
     PCAP = pool_cap  # expansion bounded by the pool itself
     l_t = jnp.clip(gl.leaf_tile, 0, G - 1)
     l_start = (p2p_blk[l_t] * block
                + (lcum[:-1] - lcum[lb_fence[l_t]]))   # [LCAP]
     valid_l = gl.leaf_node >= 0
+    use_cov = bool(sep) and pcell is not None
+    Lb = int(cell_bits)
+    fmask = (1 << Lb) - 1 if Lb else 0
+
+    def _pack_cells(c):
+        p = jnp.zeros(c.shape[0], I32)
+        for d in range(D):
+            p = p | (c[:, d] << (d * Lb))
+        return p
+
+    nb_leaf = td.node_begin[jnp.maximum(gl.leaf_node, 0)]
+    lcols = [l_start, lsz.astype(I32), nb_leaf]
+    if use_cov:
+        lcols += [_pack_cells(tcell_lo[l_t]), _pack_cells(tcell_hi[l_t])]
+    ltab = jnp.stack(lcols, axis=1)                   # [LCAP, 3|5]
+    # per-particle packed planes: pos(D), mass (+ packed cell bitcast)
+    pcols = [td.pos, td.mass[:, None]]
+    if use_cov:
+        # exact float VALUE (packed cells < 2^24), never a bitcast —
+        # int32 bit patterns are denormals the TPU flushes to zero
+        pcols.append(_pack_cells(pcell).astype(dtype)[:, None])
+    ptab = jnp.concatenate(pcols, axis=1)             # [N, D+1(+1)]
+
     # row-of-particle expansion over the pool index space: mark leaf
     # starts, cummax to propagate (start, leaf id) to each row slot
     kq = jnp.arange(pool_cap, dtype=I32)
@@ -445,24 +522,27 @@ def build_pool(td: TreeData, gl: GlobalLists, G: int, block: int,
     lead = jax.lax.cummax(marks[:pool_cap])          # leaf ordinal + 1
     has = lead > 0
     lo_ = jnp.maximum(lead - 1, 0)
-    within = kq - l_start[lo_]
-    inleaf = has & (within >= 0) & (within < lsz[lo_])
-    pidx = jnp.where(inleaf,
-                     td.node_begin[jnp.maximum(gl.leaf_node[lo_], 0)]
-                     + within, -1)
+    lrow = ltab[lo_]                                  # [P, 3|5]
+    within = kq - lrow[:, 0]
+    inleaf = has & (within >= 0) & (within < lrow[:, 1])
+    pidx = jnp.where(inleaf, lrow[:, 2] + within, -1)
     pidx_c = jnp.clip(pidx, 0, n - 1)
-    if sep and pcell is not None:
-        # stencil-coverage drop (farfield='grid'): particle's L0-cell
-        # Chebyshev separation from the owning tile's cell range >= sep
-        # means the dense far field already covers this pair
-        own = jnp.clip(l_t[lo_], 0, G - 1)
-        pc = pcell[pidx_c]                            # [P, D]
-        sd = jnp.maximum(jnp.maximum(pc - tcell_hi[own],
-                                     tcell_lo[own] - pc), 0)
-        covered = jnp.max(sd, axis=-1) >= sep
-        inleaf = inleaf & ~covered
-    prow_pos = jnp.where(inleaf[:, None], td.pos[pidx_c], sentinel)
-    prow_mass = jnp.where(inleaf, td.mass[pidx_c], 0.0)
+    prow = ptab[pidx_c]                               # [P, D+1(+1)]
+    if use_cov:
+        # stencil-coverage drop (farfield='grid'/'grid2'): particle's
+        # L0-cell Chebyshev separation from the owning tile's cell
+        # range >= sep means the dense far field covers this pair
+        pc_pk = prow[:, D + 1].astype(I32)
+        cov = None
+        for d in range(D):
+            pc = (pc_pk >> (d * Lb)) & fmask
+            tl = (lrow[:, 3] >> (d * Lb)) & fmask
+            th = (lrow[:, 4] >> (d * Lb)) & fmask
+            sd = jnp.maximum(jnp.maximum(pc - th, tl - pc), 0)
+            cov = sd if cov is None else jnp.maximum(cov, sd)
+        inleaf = inleaf & (cov < sep)
+    prow_pos = jnp.where(inleaf[:, None], prow[:, :D], sentinel)
+    prow_mass = jnp.where(inleaf, prow[:, D], 0.0)
     pidx = jnp.where(inleaf, pidx, -1)
     # merge particle rows into the pool (node scatter already placed;
     # particle slots are disjoint from node slots by construction, and

@@ -21,11 +21,14 @@ pytestmark = pytest.mark.slow
 
 BASE = dict(max_depth=9, max_leaf_n=16, ncrit=64, tile_chunk=8,
             m2p_cap=262144, p2p_leaf_cap=262144, p2p_src_cap=1048576,
-            frontier_cap=32768, pool_window=32768, pool_block=128)
+            frontier_cap=32768, pool_window=65536, pool_block=128)
 
 
 def _query(pos, mass, cfg, theta):
     td = build.build_tree(pos, mass, cfg)
+    # a truncated tile table silently zeroes the dropped tiles' near
+    # field (the r5 grid2 tile_capacity bug) — never query past it
+    assert not bool(td.overflow)
     acc, pot, ovf = engine.acc_pot_u(td, cfg, jnp.asarray(theta, pos.dtype),
                                      jnp.asarray(0.0, pos.dtype))
     assert not bool(np.asarray(ovf).any())
@@ -70,6 +73,48 @@ def test_gwalk_grid_matches_shared_envelope():
     e_g = rms(rel_vec_err(a_g, acc_o))
     e_s = rms(rel_vec_err(a_s, acc_o))
     assert abs(e_g - e_s) < 0.05 * e_s, (e_g, e_s)
+
+
+def test_gwalk_grid2_matches_shared_envelope():
+    """farfield='grid2' via gwalk: cell-clipped tiles make the pool-row
+    coverage drop the exact per-pair test, so the near/far PARTITION is
+    identical to shared+grid2 (per-target-cell kernel masks); only the
+    M2P acceptance sets differ (different tile boxes) -> same envelope.
+    grid2's conv-M2L far field is added once per query by the caller."""
+    n = 8192
+    pos, mass = particles.plummer(jax.random.PRNGKey(5), n)
+    acc_o, _ = direct.direct_acc_pot_np(np.asarray(pos, np.float64),
+                                        np.asarray(mass, np.float64))
+    a_g, _ = _query(pos, mass, TreeConfig(
+        farfield="grid2", traversal_mode="gwalk", grid_level=3,
+        local_order=4, grid_sep=2,
+        **{**BASE, "p2p_src_cap": 2097152, "m2p_cap": 524288}), 0.7)
+    a_s, _ = _query(pos, mass, TreeConfig(
+        farfield="grid2", traversal_mode="shared", grid_level=3,
+        local_order=4, grid_sep=2,
+        **{**BASE, "m2p_cap": 8192, "p2p_leaf_cap": 4096,
+           "p2p_src_cap": 32768, "frontier_cap": 4096}), 0.7)
+    e_g = rms(rel_vec_err(a_g, acc_o))
+    e_s = rms(rel_vec_err(a_s, acc_o))
+    assert abs(e_g - e_s) < 0.15 * e_s, (e_g, e_s)
+
+
+def test_gwalk_grid2_quadrupole_improves():
+    """The headline accuracy config shape: gwalk + grid2 + quadrupole
+    (pool quad planes ride the m2p segment; conv-M2L far field)."""
+    n = 8192
+    pos, mass = particles.plummer(jax.random.PRNGKey(5), n)
+    acc_o, _ = direct.direct_acc_pot_np(np.asarray(pos, np.float64),
+                                        np.asarray(mass, np.float64))
+    cfg = TreeConfig(farfield="grid2", traversal_mode="gwalk",
+                     grid_level=3, local_order=4, grid_sep=2,
+                     **{**BASE, "p2p_src_cap": 2097152,
+                        "m2p_cap": 524288})
+    a_m, _ = _query(pos, mass, cfg, 0.7)
+    a_q, _ = _query(pos, mass, cfg.with_(multipole_order=2), 0.7)
+    e_m = rms(rel_vec_err(a_m, acc_o))
+    e_q = rms(rel_vec_err(a_q, acc_o))
+    assert e_q < 0.6 * e_m, (e_q, e_m)
 
 
 def test_gwalk_quadrupole_improves():
@@ -192,3 +237,35 @@ def test_pool_kernel_interpret_matches_xla(rng):
                                    rtol=2e-4, atol=2e-5)
     # empty tile produced exactly zero
     assert not np.asarray(a1)[4].any() and not np.asarray(p1)[4].any()
+
+
+def test_pool_kernel_group_matches_ungrouped(rng):
+    """group>1 (several tiles per grid step sharing one window) must be
+    a pure scheduling change: bitwise-same results as group=1, incl.
+    the Gt %% group padding path."""
+    from rakau_tpu.kernels import pallas as pk
+    Gt, T, D, block = 5, 16, 3, 32
+    window = 128
+    P = 2 * window
+    n = 1000
+    tgt_pos = jnp.asarray(rng.standard_normal((Gt, T, D)), jnp.float32)
+    tgt_idx = jnp.asarray(
+        rng.choice(n, size=(Gt, T), replace=False).astype(np.int32))
+    pool_pos = jnp.asarray(rng.standard_normal((P, D)) * 2, jnp.float32)
+    pool_mass = jnp.asarray(rng.uniform(0.1, 1, P), jnp.float32)
+    pool_idx = jnp.full(P, -1, np.int32)
+    # group-granular packing invariant: both tiles of a group share a
+    # window (group=2 -> groups (0,1) w0, (2,3) w0, (4,pad) w1)
+    sched = jnp.asarray([[0, 0, 1, 1],
+                         [0, 2, 0, 1],
+                         [0, 3, 1, 0],
+                         [0, 0, 2, 0],
+                         [1, 0, 2, 1]], jnp.int32)
+    a1, p1 = pk.eval_pool(tgt_pos, tgt_idx, pool_pos, pool_mass,
+                          pool_idx, sched, window, 0.01, 1.0, block,
+                          interpret=True)
+    a2, p2 = pk.eval_pool(tgt_pos, tgt_idx, pool_pos, pool_mass,
+                          pool_idx, sched, window, 0.01, 1.0, block,
+                          interpret=True, group=2)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))

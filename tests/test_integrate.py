@@ -47,6 +47,29 @@ def test_leapfrog_energy_drift():
     assert drift < 2e-3, drift
 
 
+def test_leapfrog_safe_step_retries_overflow():
+    """The retry driver (VERDICT r4 item 7): undersized caps must be
+    grown until the step runs clean — never a truncated-force step —
+    and the result must match a straight step at ample caps."""
+    state = make_plummer_equilibrium(n=512)
+    small = CFG.with_(m2p_cap=64, p2p_src_cap=256, p2p_leaf_cap=64)
+    new, ovf, perm, grown_cfg, n_retries = \
+        integrate.leapfrog_step_morton_host_safe(
+            state, 1e-3, small, jnp.float32(0.6), jnp.float32(0.05),
+            box_size=64.0)
+    assert not bool(np.asarray(ovf).any())
+    assert n_retries >= 1
+    assert (grown_cfg.m2p_cap > small.m2p_cap
+            or grown_cfg.p2p_src_cap > small.p2p_src_cap
+            or grown_cfg.p2p_leaf_cap > small.p2p_leaf_cap)
+    ref, ovf_r, perm_r = integrate.leapfrog_step_morton_host(
+        state, 1e-3, grown_cfg, jnp.float32(0.6), jnp.float32(0.05),
+        box_size=64.0)
+    assert not bool(np.asarray(ovf_r).any())
+    np.testing.assert_allclose(np.asarray(new.pos), np.asarray(ref.pos),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_leapfrog_reversibility():
     # KDK is time-reversible: step forward then backward returns start.
     state = make_plummer_equilibrium(n=512)
