@@ -78,6 +78,11 @@ def main():
     )
     if os.environ.get("RAKAU_BENCH_GRIDLEVEL"):
         cfg = cfg.with_(grid_level=int(os.environ["RAKAU_BENCH_GRIDLEVEL"]))
+    if cfg.traversal_mode == "gwalk" and cfg.multipole_order >= 2:
+        # 6 extra quad window planes: halve the VMEM-resident pool
+        # window to stay inside the pallas scoped budget
+        cfg = cfg.with_(pool_window=int(
+            os.environ.get("RAKAU_BENCH_WINDOW", 131072)))
     if os.environ.get("RAKAU_BENCH_GAMMA"):
         cfg = cfg.with_(local_gamma=float(os.environ["RAKAU_BENCH_GAMMA"]))
 
@@ -123,9 +128,16 @@ def main():
     # dispatch fell back to the slow XLA kernel for the whole bench.
     from rakau_tpu.config import grow_overflowed
     if cfg.traversal_mode == "gwalk":
-        # one tuning pass fits the global caps AND the per-round
-        # frontier caps (the unrolled walk's shapes; engine.tune_gwalk)
-        cfg = engine.tune_gwalk(td, cfg, th, ep, g)
+        rc = os.environ.get("RAKAU_BENCH_ROUNDCAPS")
+        if rc:
+            # pre-fitted round caps (baked like the shared caps above):
+            # skips the dynamic-walk tuning compile on fresh containers
+            cfg = cfg.with_(gwalk_round_caps=tuple(
+                int(x) for x in rc.split(",")))
+        else:
+            # one tuning pass fits the global caps AND the per-round
+            # frontier caps (engine.tune_gwalk)
+            cfg = engine.tune_gwalk(td, cfg, th, ep, g)
     acc, pot, ovf, mx = force(query_jit(td, cfg, th, ep, g))
     for _ in range(6):
         flags = np.asarray(ovf)

@@ -47,6 +47,12 @@ def main():
                      **caps)
     if os.environ.get("GW_GRIDLEVEL"):
         cfg = cfg.with_(grid_level=int(os.environ["GW_GRIDLEVEL"]))
+    if os.environ.get("GW_WINDOW"):
+        cfg = cfg.with_(pool_window=int(os.environ["GW_WINDOW"]))
+    elif cfg.multipole_order >= 2:
+        # 6 extra quad window planes: halve the VMEM-resident window to
+        # stay inside the pallas scoped budget (105.7M > 101M at W=256k)
+        cfg = cfg.with_(pool_window=131072)
     if os.environ.get("GW_LEAF_N"):
         cfg = cfg.with_(max_leaf_n=int(os.environ["GW_LEAF_N"]))
     pos, mass = particles.plummer(jax.random.PRNGKey(0), n)

@@ -683,6 +683,15 @@ def _shared_fused_kernel(ids_ref, cnt_ref, eps2_ref, *refs, ndim, block,
             # covered-at-range means NOT stencil-covered: invert sense —
             # a pair is in the dense far field iff some dim sep >= S
             dead = dead | (~covered & (scp >= 0.0))
+        if quad:
+            # masked-out union pairs can sit arbitrarily close to a
+            # target (a core target inside another tile's node): their
+            # inv_r^7 overflows fp32 to inf and the mask gate then
+            # computes mk * inf = 0 * inf = NaN (the r4 "shared+quad
+            # TPU NaN at 1M, clean at 65k" — dense cores only). Fold
+            # the mask into the dead gate so every power chain starts
+            # from an exact zero, like the monopole w-chain does.
+            dead = dead | (mk <= 0.0)
         inv_r = jnp.where(dead, 0.0, inv_r)
         w = (m * mk) * inv_r
         if quad:
@@ -975,8 +984,11 @@ def _pool_kernel(sched_ref, eps2_ref, *refs, ndim, block, compensated,
     prefetched window id; consecutive tiles share a window, so Mosaic
     skips the refetch on an unchanged index.
 
-    sched_ref [G, 4] int32: window id (consumed by the index maps),
-    start block local to the window, m2p block count, p2p block count.
+    sched_ref [4, G] int32 (TRANSPOSED in-kernel: SMEM pads the minor
+    dim to 128 lanes, so a [G, 4] layout would burn 512 B/tile —
+    5.9 MB > the 1 MB SMEM at 8M): window id (consumed by the index
+    maps), start block local to the window, m2p block count, p2p block
+    count.
     refs: tgt planes x ndim + tgt_idx [1,T,1],
           window planes x ndim + mass + idx [1,1,W]
           (+ `quad` second-moment planes [1,1,W]),
@@ -995,9 +1007,13 @@ def _pool_kernel(sched_ref, eps2_ref, *refs, ndim, block, compensated,
     eps2 = eps2_ref[0]
 
     # `group` tiles share this grid step (and its VMEM window fetch):
-    # target blocks are (1, group*T, 1); tile i's rows are the static
-    # slice [i*T, (i+1)*T) and its schedule row is g*group + i.
-    T = tgt_refs[0].shape[1] // group
+    # target blocks are (1, group, T) — tile i is ROW i. A (NG, GT, 1)
+    # plane layout pads the unit minor dim to 128 lanes IN HBM (128x,
+    # 5.6 GB per plane at 8M — the r5 gwalk HBM OOM); the row layout
+    # is unpadded at production shapes and costs one (1,T)->(T,1)
+    # transpose per tile per plane. Tile i's schedule row is
+    # g*group + i.
+    T = tgt_refs[0].shape[2]
 
     def make_body(start, with_quad, tcols, ti):
         def body(k, carry):
@@ -1090,33 +1106,34 @@ def _pool_kernel(sched_ref, eps2_ref, *refs, ndim, block, compensated,
         return body
 
     for i in range(group):
-        tcols = [r[0, i * T:(i + 1) * T] for r in tgt_refs]  # (T, 1)
-        ti = ti_ref[0, i * T:(i + 1) * T]                    # (T, 1) i32
+        tcols = [jnp.transpose(r[0, i:i + 1, :])
+                 for r in tgt_refs]                          # (T, 1)
+        ti = jnp.transpose(ti_ref[0, i:i + 1, :])            # (T, 1) i32
         acc0 = [jnp.zeros((T, 1), jnp.float32) for _ in range(ndim)]
         pot0 = jnp.zeros((T, 1), jnp.float32)
         comp0 = [jnp.zeros((T, 1), jnp.float32) for _ in range(ndim + 1)]
         carry = (acc0, pot0, comp0)
         row = g * group + i
-        start = sched_ref[row, 1]
+        start = sched_ref[1, row]
         if quad:
             # node segment with quadrupole math, then particle segment
             # monopole
-            carry = jax.lax.fori_loop(0, sched_ref[row, 2],
+            carry = jax.lax.fori_loop(0, sched_ref[2, row],
                                       make_body(start, True, tcols, ti),
                                       carry)
-            carry = jax.lax.fori_loop(0, sched_ref[row, 3],
-                                      make_body(start + sched_ref[row, 2],
+            carry = jax.lax.fori_loop(0, sched_ref[3, row],
+                                      make_body(start + sched_ref[2, row],
                                                 False, tcols, ti), carry)
         else:
-            carry = jax.lax.fori_loop(0, sched_ref[row, 2]
-                                      + sched_ref[row, 3],
+            carry = jax.lax.fori_loop(0, sched_ref[2, row]
+                                      + sched_ref[3, row],
                                       make_body(start, False, tcols, ti),
                                       carry)
         accs, pot, comp = carry
         for d in range(ndim):
-            out_refs[d][0, i * T:(i + 1) * T] = (
+            out_refs[d][0, i:i + 1, :] = jnp.transpose(
                 accs[d] + comp[d] if compensated else accs[d])
-        out_refs[ndim][0, i * T:(i + 1) * T] = (
+        out_refs[ndim][0, i:i + 1, :] = jnp.transpose(
             pot + comp[ndim] if compensated else pot)
 
 
@@ -1153,8 +1170,14 @@ def eval_pool(tgt_pos, tgt_idx, pool_pos, pool_mass, pool_idx, sched,
     GT = group * T
 
     eps2 = jnp.asarray([jnp.asarray(eps, jnp.float32) ** 2], jnp.float32)
-    tgt_planes = [tgt_pos[:, :, d].reshape(NG, GT, 1) for d in range(D)]
-    tgt_planes.append(tgt_idx.reshape(NG, GT, 1))
+    # [NG, group, T] target/out planes (tile = row): a (NG, GT, 1)
+    # layout pads the unit minor dim to 128 lanes in HBM (128x
+    # expansion — 5.6 GB per plane at 8M); this one is unpadded at
+    # production shapes and its full-trailing-dims block is always a
+    # legal Mosaic block
+    tgt_planes = [tgt_pos[:, :, d].reshape(NG, group, T)
+                  for d in range(D)]
+    tgt_planes.append(tgt_idx.reshape(NG, group, T))
     wb = window // block
     win_planes = [pool_pos[:, d].reshape(NW, wb, block) for d in range(D)]
     win_planes.append(pool_mass.reshape(NW, wb, block))
@@ -1166,13 +1189,13 @@ def eval_pool(tgt_pos, tgt_idx, pool_pos, pool_mass, pool_idx, sched,
                        for i in range(qdim)]
 
     def tspec():
-        return pl.BlockSpec((1, GT, 1), lambda g, s, e: (g, 0, 0))
+        return pl.BlockSpec((1, group, T), lambda g, s, e: (g, 0, 0))
 
     def wspec():
         # every tile of the group shares the first tile's window (the
         # group-granular packing guarantees containment)
         return pl.BlockSpec((1, wb, block),
-                            lambda g, s, e: (s[g * group, 0], 0, 0))
+                            lambda g, s, e: (s[0, g * group], 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1187,14 +1210,13 @@ def eval_pool(tgt_pos, tgt_idx, pool_pos, pool_mass, pool_idx, sched,
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((NG, GT, 1), jnp.float32)
+        out_shape=[jax.ShapeDtypeStruct((NG, group, T), jnp.float32)
                    for _ in range(D + 1)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=fused_vmem_budget()),
-    )(sched, eps2, *tgt_planes, *win_planes)
-    acc = jnp.concatenate([o.reshape(Gp, T, 1)[:Gt] for o in outs[:D]],
-                          axis=2)
+    )(sched.T, eps2, *tgt_planes, *win_planes)
+    acc = jnp.stack([o.reshape(Gp, T)[:Gt] for o in outs[:D]], axis=2)
     pot = outs[D].reshape(Gp, T)[:Gt]
     G = jnp.asarray(G, tgt_pos.dtype)
     return G * acc, G * pot

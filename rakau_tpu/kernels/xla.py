@@ -198,6 +198,12 @@ def eval_shared(tgt_pos, tgt_idx, src_pos, src_mass, src_idx, mask,
                 axis=-1)                     # [C, T, B]
             covered = (csep >= grid_sep) & (scb[None, None, :, 0] >= 0)
             excl = excl | covered
+        if src_quad is not None:
+            # masked-out pairs can be near-coincident: inv_r^7
+            # overflows to inf and the mask gate then yields 0 * inf =
+            # NaN (the shared+quad 1M NaN). Zero inv_r for them so the
+            # quad power chain starts from an exact zero.
+            excl = excl | (mkb[:, None, :] <= 0)
         inv_r = jnp.where(excl | (r2 <= 0), 0.0, inv_r)
         w = (m[None, None, :] * mkb[:, None, :]) * inv_r
         if mode in ("both", "acc"):

@@ -90,7 +90,9 @@ def _export_query(td, cfg_q, cfg_e, theta, eps, G, box_size, ndev: int,
                   axis: str, export_cap: int, dlo, dhi, tile_valid):
     """Shared LET back half: export walk (domains as tiles), halo
     exchange over ICI, local query with imports. Returns results in the
-    local pre-build order plus (ovf[4], export_ovf) pmax-reduced."""
+    local pre-build order plus (ovf[4], export_ovf) pmax-reduced and
+    the per-destination export counts [ndev] (this shard's halo volume
+    — the docs/multislice.md traffic-budget observable)."""
     dtype = td.pos.dtype
     ndim = td.pos.shape[1]
 
@@ -122,7 +124,7 @@ def _export_query(td, cfg_q, cfg_e, theta, eps, G, box_size, ndev: int,
     pot_m = pot_u[inv_l]
     ovf = jax.lax.pmax(ovf.astype(I32), axis).astype(bool)
     exp_ovf = jax.lax.pmax(exp_ovf.astype(I32), axis).astype(bool)
-    return acc_m, pot_m, ovf, exp_ovf
+    return acc_m, pot_m, ovf, exp_ovf, cnt
 
 
 def acc_pot_let(pos, mass, cfg: TreeConfig, theta, eps, G, mesh: Mesh,
@@ -131,9 +133,11 @@ def acc_pot_let(pos, mass, cfg: TreeConfig, theta, eps, G, mesh: Mesh,
                 export_part_cap: int = 32768, export_leaf_cap: int = 4096,
                 export_frontier_cap: int = 1024,
                 phase0: str = "distributed", exchange_slack: float = 2.0,
-                splitter_samples: int = 128):
+                splitter_samples: int = 128, with_stats: bool = False):
     """Full LET pipeline; returns (acc, pot, ovf[4], export_ovf) with
-    acc/pot in the INPUT order. Jittable (cfg/mesh static).
+    acc/pot in the INPUT order (+ the [ndev, ndev] export-count matrix
+    exports[src, dst] when with_stats — the measured halo volume vs the
+    docs/multislice.md traffic budget). Jittable (cfg/mesh static).
 
     phase0="distributed" (default) runs the sample-sort domain
     assignment: per-shard local sort, splitters from a gathered regular
@@ -176,7 +180,7 @@ def acc_pot_let(pos, mass, cfg: TreeConfig, theta, eps, G, mesh: Mesh,
 
     @partial(jax.shard_map, mesh=mesh, check_vma=False,
              in_specs=(P(axis), P(axis)),
-             out_specs=(P(axis), P(axis), P(), P()))
+             out_specs=(P(axis), P(axis), P(), P(), P(axis)))
     def run(pos_l, mass_l):
         me = jax.lax.axis_index(axis)
         # ---- local Morton sort ----------------------------------------
@@ -254,7 +258,7 @@ def acc_pot_let(pos, mass, cfg: TreeConfig, theta, eps, G, mesh: Mesh,
         nonempty = jax.lax.all_gather(jnp.any(val_r), axis)
         not_me = (jnp.arange(ndev, dtype=I32) != me) & nonempty
 
-        acc_m, pot_m, ovf, exp_ovf = _export_query(
+        acc_m, pot_m, ovf, exp_ovf, e_cnt = _export_query(
             td, cfg_q, cfg_e, theta, eps, G, box_size, ndev, axis,
             export_cap, dlo, dhi, not_me)
 
@@ -279,9 +283,12 @@ def acc_pot_let(pos, mass, cfg: TreeConfig, theta, eps, G, mesh: Mesh,
         inv_pl = _build._inv_permutation(perm_l)
         exp_ovf = exp_ovf | jax.lax.pmax(
             x_ovf.astype(I32), axis).astype(bool)
-        return acc_ls[inv_pl], pot_ls[inv_pl], ovf, exp_ovf
+        return (acc_ls[inv_pl], pot_ls[inv_pl], ovf, exp_ovf,
+                e_cnt[None])
 
-    acc, pot, ovf, exp_ovf = run(pos, mass)
+    acc, pot, ovf, exp_ovf, e_cnt = run(pos, mass)
+    if with_stats:
+        return acc[:n], pot[:n], ovf, exp_ovf, e_cnt
     return acc[:n], pot[:n], ovf, exp_ovf
 
 
@@ -312,7 +319,7 @@ def _acc_pot_let_global(pos, mass, cfg_q, cfg_e, theta, eps, G, mesh,
         dhi = jax.lax.all_gather(jnp.max(pos_l, axis=0), axis)
         not_me = jnp.arange(ndev, dtype=I32) != me
         return _export_query(td, cfg_q, cfg_e, theta, eps, G, box_size,
-                             ndev, axis, export_cap, dlo, dhi, not_me)
+                             ndev, axis, export_cap, dlo, dhi, not_me)[:4]
 
     acc_m, pot_m, ovf, exp_ovf = run(pos_s, mass_s)
     # unpad + global Morton -> input order

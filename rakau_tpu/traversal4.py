@@ -355,7 +355,8 @@ def build_pool(td: TreeData, gl: GlobalLists, G: int, block: int,
                pool_cap: int, sentinel=None, window_blocks: int = 0,
                pcell=None, tcell_lo=None, tcell_hi=None, sep: int = 0,
                quad_dim: int = 0, cell_bits: int = 0,
-               group: int = 1) -> GlobalPool:
+               group: int = 1, row_chunk: int = 4 * 1048576
+               ) -> GlobalPool:
     """Materialize the block-aligned source pool from tile-sorted
     incidence lists (jittable; G, block, pool_cap static).
 
@@ -512,44 +513,88 @@ def build_pool(td: TreeData, gl: GlobalLists, G: int, block: int,
     ptab = jnp.concatenate(pcols, axis=1)             # [N, D+1(+1)]
 
     # row-of-particle expansion over the pool index space: mark leaf
-    # starts, cummax to propagate (start, leaf id) to each row slot
-    kq = jnp.arange(pool_cap, dtype=I32)
+    # starts, cummax to propagate (start, leaf id) to each row slot.
+    # The expansion itself runs CHUNKED over the row space (lax.map +
+    # dynamic-update-slice): the straight-line form keeps ~25 [P]-sized
+    # temporaries live and OOMed the 8M tune at 47.5 GB; per-chunk the
+    # live set is O(row_chunk) beside the pool planes themselves.
     # scatter per-leaf (start row -> leaf ordinal+1), then cummax
     marks = jnp.zeros(pool_cap + 1, I32)
     lpos = jnp.where(valid_l & (lsz > 0), jnp.minimum(l_start, pool_cap),
                      pool_cap)
     marks = marks.at[lpos].max(jnp.arange(LCAP, dtype=I32) + 1)
     lead = jax.lax.cummax(marks[:pool_cap])          # leaf ordinal + 1
-    has = lead > 0
-    lo_ = jnp.maximum(lead - 1, 0)
-    lrow = ltab[lo_]                                  # [P, 3|5]
-    within = kq - lrow[:, 0]
-    inleaf = has & (within >= 0) & (within < lrow[:, 1])
-    pidx = jnp.where(inleaf, lrow[:, 2] + within, -1)
-    pidx_c = jnp.clip(pidx, 0, n - 1)
-    prow = ptab[pidx_c]                               # [P, D+1(+1)]
-    if use_cov:
-        # stencil-coverage drop (farfield='grid'/'grid2'): particle's
-        # L0-cell Chebyshev separation from the owning tile's cell
-        # range >= sep means the dense far field covers this pair
-        pc_pk = prow[:, D + 1].astype(I32)
-        cov = None
-        for d in range(D):
-            pc = (pc_pk >> (d * Lb)) & fmask
-            tl = (lrow[:, 3] >> (d * Lb)) & fmask
-            th = (lrow[:, 4] >> (d * Lb)) & fmask
-            sd = jnp.maximum(jnp.maximum(pc - th, tl - pc), 0)
-            cov = sd if cov is None else jnp.maximum(cov, sd)
-        inleaf = inleaf & (cov < sep)
-    prow_pos = jnp.where(inleaf[:, None], prow[:, :D], sentinel)
-    prow_mass = jnp.where(inleaf, prow[:, D], 0.0)
-    pidx = jnp.where(inleaf, pidx, -1)
-    # merge particle rows into the pool (node scatter already placed;
-    # particle slots are disjoint from node slots by construction, and
-    # a coverage-dropped row simply keeps the dead init values)
-    pool_pos = jnp.where(inleaf[:, None], prow_pos, pool_pos[:pool_cap])
-    pool_mass = jnp.where(inleaf, prow_mass, pool_mass[:pool_cap])
-    pool_idx = jnp.where(inleaf, pidx, pool_idx[:pool_cap])
+
+    RC = min(pool_cap, max(int(row_chunk), 1))
+    n_rc = -(-pool_cap // RC)
+
+    def expand_rows(s0, lead_c):
+        """Rows [s0, s0+RC): (pos [RC, D], mass, idx) particle rows
+        (dead rows keep sentinel/0/-1 and the merge below preserves the
+        node scatter)."""
+        kq = s0 + jnp.arange(RC, dtype=I32)
+        has = lead_c > 0
+        lo_ = jnp.maximum(lead_c - 1, 0)
+        lrow = ltab[lo_]                              # [RC, 3|5]
+        within = kq - lrow[:, 0]
+        inleaf = has & (within >= 0) & (within < lrow[:, 1])
+        pidx = jnp.where(inleaf, lrow[:, 2] + within, -1)
+        pidx_c = jnp.clip(pidx, 0, n - 1)
+        prow = ptab[pidx_c]                           # [RC, D+1(+1)]
+        if use_cov:
+            # stencil-coverage drop (farfield='grid'/'grid2'):
+            # particle's L0-cell Chebyshev separation from the owning
+            # tile's cell range >= sep means the dense far field
+            # covers this pair
+            pc_pk = prow[:, D + 1].astype(I32)
+            cov = None
+            for d in range(D):
+                pc = (pc_pk >> (d * Lb)) & fmask
+                tl = (lrow[:, 3] >> (d * Lb)) & fmask
+                th = (lrow[:, 4] >> (d * Lb)) & fmask
+                sd = jnp.maximum(jnp.maximum(pc - th, tl - pc), 0)
+                cov = sd if cov is None else jnp.maximum(cov, sd)
+            inleaf = inleaf & (cov < sep)
+        return (inleaf, jnp.where(inleaf[:, None], prow[:, :D], sentinel),
+                jnp.where(inleaf, prow[:, D], 0.0),
+                jnp.where(inleaf, pidx, -1))
+
+    if n_rc == 1:
+        inleaf, prow_pos, prow_mass, pidx = expand_rows(
+            jnp.zeros((), I32), lead)
+        pool_pos = jnp.where(inleaf[:, None], prow_pos,
+                             pool_pos[:pool_cap])
+        pool_mass = jnp.where(inleaf, prow_mass, pool_mass[:pool_cap])
+        pool_idx = jnp.where(inleaf, pidx, pool_idx[:pool_cap])
+    else:
+        pad_rc = n_rc * RC - pool_cap
+        lead_p = jnp.pad(lead, (0, pad_rc))
+        pool_pos = jnp.pad(pool_pos[:pool_cap], ((0, pad_rc), (0, 0)))
+        pool_mass = jnp.pad(pool_mass[:pool_cap], (0, pad_rc))
+        pool_idx = jnp.pad(pool_idx[:pool_cap], (0, pad_rc),
+                           constant_values=-1)
+
+        def chunk_body(c, bufs):
+            bpos, bmass, bidx = bufs
+            s0 = c * RC
+            lead_c = jax.lax.dynamic_slice(lead_p, (s0,), (RC,))
+            inleaf, cpos, cmass, cidx = expand_rows(s0, lead_c)
+            old_pos = jax.lax.dynamic_slice(bpos, (s0, 0), (RC, D))
+            old_mass = jax.lax.dynamic_slice(bmass, (s0,), (RC,))
+            old_idx = jax.lax.dynamic_slice(bidx, (s0,), (RC,))
+            bpos = jax.lax.dynamic_update_slice(
+                bpos, jnp.where(inleaf[:, None], cpos, old_pos), (s0, 0))
+            bmass = jax.lax.dynamic_update_slice(
+                bmass, jnp.where(inleaf, cmass, old_mass), (s0,))
+            bidx = jax.lax.dynamic_update_slice(
+                bidx, jnp.where(inleaf, cidx, old_idx), (s0,))
+            return bpos, bmass, bidx
+
+        pool_pos, pool_mass, pool_idx = jax.lax.fori_loop(
+            0, n_rc, chunk_body, (pool_pos, pool_mass, pool_idx))
+        pool_pos = pool_pos[:pool_cap]
+        pool_mass = pool_mass[:pool_cap]
+        pool_idx = pool_idx[:pool_cap]
     if quad_dim:
         pool_quad = pool_quad[:pool_cap]
 

@@ -77,6 +77,24 @@ def test_lmac_grid2_query_vs_oracle():
     assert rms < 8e-3, f"lmac+grid2 rms {rms:.2e}"
 
 
+def test_gwalk_grid2_quad_query_vs_oracle():
+    """The r5 headline candidate: gwalk traversal + grid2 conv-M2L far
+    field + quadrupole M2P through the pool kernel path."""
+    pos, mass, acc_o, _ = _data()
+    cfg = _base(traversal_mode="gwalk", farfield="grid2", local_order=4,
+                grid_sep=2, grid_level=3, multipole_order=2,
+                m2p_cap=131072, p2p_leaf_cap=65536, p2p_src_cap=1048576,
+                pool_window=65536, pool_block=128)
+    td = build.build_tree(pos, mass, cfg)
+    assert not bool(td.overflow)
+    acc, pot, ovf, _ = engine.acc_pot_u_host(td, cfg, jnp.float32(0.75),
+                                             jnp.float32(0.0), 1.0)
+    assert not bool(np.asarray(ovf).any())
+    inv = np.asarray(td.inv_perm)
+    rms = _rms(np.asarray(acc)[inv], acc_o)
+    assert rms < 5e-3, f"gwalk+grid2+quad rms {rms:.2e}"
+
+
 def test_tree_api_uo_duality_and_update():
     from rakau_tpu.tree import Tree
     pos, mass, acc_o, _ = _data()

@@ -133,6 +133,17 @@ def test_pool_matches_shared_engine_physics():
     pool = t4.build_pool(td, gl, G, B, pool_cap=262144)
     assert not bool(np.asarray(pool.overflow))
 
+    # the row-chunked expansion (the 8M OOM fix: lax.fori over row
+    # windows) must be bit-identical to the straight-line path
+    pool_c = t4.build_pool(td, gl, G, B, pool_cap=262144,
+                           row_chunk=65536)
+    np.testing.assert_array_equal(np.asarray(pool.idx),
+                                  np.asarray(pool_c.idx))
+    np.testing.assert_array_equal(np.asarray(pool.pos),
+                                  np.asarray(pool_c.pos))
+    np.testing.assert_array_equal(np.asarray(pool.mass),
+                                  np.asarray(pool_c.mass))
+
     ppos = np.asarray(pool.pos, np.float64)
     pmass = np.asarray(pool.mass, np.float64)
     pidx = np.asarray(pool.idx)
