@@ -55,6 +55,8 @@ def main():
         cfg = cfg.with_(pool_window=131072)
     if os.environ.get("GW_LEAF_N"):
         cfg = cfg.with_(max_leaf_n=int(os.environ["GW_LEAF_N"]))
+    if os.environ.get("GW_MAC"):
+        cfg = cfg.with_(mac=os.environ["GW_MAC"])
     pos, mass = particles.plummer(jax.random.PRNGKey(0), n)
     td = build.build_tree(np.asarray(pos), np.asarray(mass), cfg)
     if os.environ.get("GW_FIT_TILES", "1") == "1":
